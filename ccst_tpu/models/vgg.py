@@ -1,0 +1,230 @@
+"""VGG-19 (normalised) encoder through relu4_1 and its mirror decoder.
+
+TPU-native re-design of the AdaIN encoder/decoder pair the reference defines
+as torch ``nn.Sequential`` stacks (style_transfer/AdaIN/net.py:6-92). The
+architecture is expressed once as a declarative spec and interpreted by a
+functional ``apply``:
+
+  - NHWC layout; convs are ``lax.conv_general_dilated`` with explicit
+    reflection padding (torch ``ReflectionPad2d`` parity).
+  - Max pools are 2x2/stride-2 **ceil-mode** (net.py:46,53,66): expressed as
+    ``lax.reduce_window`` with trailing edge padding of -inf when H or W is
+    odd — bit-identical to torch's ceil_mode for these shapes.
+  - Upsampling is nearest-neighbor 2x (net.py:10,23,30).
+  - Compute dtype is configurable (bfloat16 by default on TPU) with float32
+    conv accumulation via ``preferred_element_type``; parity tests run fp32.
+
+The encoder stops at relu4_1, matching the runtime truncation
+``nn.Sequential(*list(vgg.children())[:31])``
+(CCST_OverallStyleTransfer.py:124). Taps at relu{1..4}_1 are exposed for the
+AdaIN training wrapper's style losses (net.py:112-117).
+
+Weights: the reference downloads ``vgg_normalised.pth`` / ``decoder.pth``.
+``ccst_tpu.models.convert`` maps those torch state dicts into this layout.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Params = Dict[str, Dict[str, Array]]
+
+
+class Conv(NamedTuple):
+    name: str
+    cin: int
+    cout: int
+    ksize: int = 3          # 3 => reflection-pad 1 then VALID; 1 => no pad
+    relu: bool = True
+
+
+class Pool(NamedTuple):     # ceil-mode 2x2 stride-2 max pool
+    pass
+
+
+class Upsample(NamedTuple): # nearest-neighbor 2x
+    pass
+
+
+class Tap(NamedTuple):      # marks a named intermediate output (after prev layer)
+    name: str
+
+
+# vgg_normalised through relu4_1 (net.py:38-69; children [:31]).
+ENCODER_ARCH: Tuple = (
+    Conv("conv0", 3, 3, ksize=1, relu=False),   # RGB rescale layer
+    Conv("conv1_1", 3, 64), Tap("relu1_1"),
+    Conv("conv1_2", 64, 64),
+    Pool(),
+    Conv("conv2_1", 64, 128), Tap("relu2_1"),
+    Conv("conv2_2", 128, 128),
+    Pool(),
+    Conv("conv3_1", 128, 256), Tap("relu3_1"),
+    Conv("conv3_2", 256, 256),
+    Conv("conv3_3", 256, 256),
+    Conv("conv3_4", 256, 256),
+    Pool(),
+    Conv("conv4_1", 256, 512), Tap("relu4_1"),
+)
+
+# Mirror decoder (net.py:6-36); final conv has no activation.
+DECODER_ARCH: Tuple = (
+    Conv("dconv4_1", 512, 256),
+    Upsample(),
+    Conv("dconv3_4", 256, 256),
+    Conv("dconv3_3", 256, 256),
+    Conv("dconv3_2", 256, 256),
+    Conv("dconv3_1", 256, 128),
+    Upsample(),
+    Conv("dconv2_2", 128, 128),
+    Conv("dconv2_1", 128, 64),
+    Upsample(),
+    Conv("dconv1_2", 64, 64),
+    Conv("dconv1_1", 64, 3, relu=False),
+)
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def reflect_pad(x: Array, pad: int = 1) -> Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def conv2d(
+    x: Array, w: Array, b: Array, *, accum_dtype=jnp.float32
+) -> Array:
+    """VALID conv, fp32 accumulation, output cast back to x.dtype."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=accum_dtype,
+    )
+    out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def maxpool_ceil(x: Array) -> Array:
+    """2x2/2 max pool with ceil_mode=True (trailing -inf padding on odd dims)."""
+    pad_h = x.shape[1] % 2
+    pad_w = x.shape[2] % 2
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
+    return jax.lax.reduce_window(
+        x,
+        init_value=jnp.asarray(neg_inf, x.dtype),
+        computation=jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+    )
+
+
+def upsample_nearest2x(x: Array) -> Array:
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# Init / apply
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    key: jax.Array, arch: Sequence, dtype=jnp.float32
+) -> Params:
+    """Kaiming-uniform init (torch Conv2d default) for a declarative arch."""
+    params: Params = {}
+    convs = [l for l in arch if isinstance(l, Conv)]
+    keys = jax.random.split(key, len(convs))
+    for k, layer in zip(keys, convs):
+        fan_in = layer.cin * layer.ksize * layer.ksize
+        # torch Conv2d default: kaiming_uniform(a=sqrt(5)) => bound = sqrt(1/fan_in)
+        bound_w = math.sqrt(1.0 / fan_in)
+        kw, kb = jax.random.split(k)
+        w = jax.random.uniform(
+            kw,
+            (layer.ksize, layer.ksize, layer.cin, layer.cout),
+            dtype,
+            -bound_w,
+            bound_w,
+        )
+        bound_b = 1.0 / math.sqrt(fan_in)
+        b = jax.random.uniform(kb, (layer.cout,), dtype, -bound_b, bound_b)
+        params[layer.name] = {"w": w, "b": b}
+    return params
+
+
+def _apply(
+    params: Params,
+    x: Array,
+    arch: Sequence,
+    *,
+    taps: Optional[Sequence[str]] = None,
+    stop_at: Optional[str] = None,
+) -> Tuple[Array, Dict[str, Array]]:
+    collected: Dict[str, Array] = {}
+    want = set(taps or ())
+    for layer in arch:
+        if isinstance(layer, Conv):
+            p = params[layer.name]
+            if layer.ksize == 3:
+                x = reflect_pad(x, 1)
+            x = conv2d(x, p["w"], p["b"])
+            if layer.relu:
+                x = jax.nn.relu(x)
+        elif isinstance(layer, Pool):
+            x = maxpool_ceil(x)
+        elif isinstance(layer, Upsample):
+            x = upsample_nearest2x(x)
+        elif isinstance(layer, Tap):
+            if layer.name in want:
+                collected[layer.name] = x
+            if stop_at is not None and layer.name == stop_at:
+                return x, collected
+        else:
+            raise TypeError(f"unknown layer spec {layer!r}")
+    return x, collected
+
+
+def apply_encoder(params: Params, images: Array) -> Array:
+    """Images (N, H, W, 3) -> relu4_1 features (N, H/8, W/8, 512).
+
+    ``images`` are in [0, 1] RGB (the vgg_normalised conv0 layer handles the
+    255-scaling/BGR-style rescale internally via its weights, matching the
+    reference which feeds raw ToTensor output, cjm_util/data_helper.py:46-49).
+    """
+    out, _ = _apply(params, images, ENCODER_ARCH, stop_at="relu4_1")
+    return out
+
+
+def encoder_taps(params: Params, images: Array) -> Dict[str, Array]:
+    """relu1_1..relu4_1 intermediate features, for AdaIN training losses."""
+    names = ("relu1_1", "relu2_1", "relu3_1", "relu4_1")
+    _, taps = _apply(params, images, ENCODER_ARCH, taps=names, stop_at="relu4_1")
+    return taps
+
+
+def apply_decoder(params: Params, feat: Array) -> Array:
+    """relu4_1 features -> image (N, H*8, W*8, 3); raw output, no activation
+    (clamped to [0,1] only at save time, like torchvision save_image)."""
+    out, _ = _apply(params, feat, DECODER_ARCH)
+    return out
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(v["w"].shape)) + int(np.prod(v["b"].shape)) for v in params.values())
