@@ -1,0 +1,263 @@
+"""Dataset txt-lists and the CCST filesystem contract.
+
+The reference pipeline's inter-stage "API" is a directory-naming convention
+(SURVEY.md §1): stylize CLIs mirror the source tree under
+``all_style_transferred_{Overall,Single}`` via string replacement
+(CCST_OverallStyleTransfer.py:158-167), the reorganizer merges those into
+``kfold_adain-{mode}-multi/{target}`` (data/reorganize_dataset.py:44-83), and
+the K-list generator samples stylized variants into
+``txt_lists/{dataset}_{style}-{mode}-K{K}/{target}/{client}_train.txt``
+(data/data_list_generator.py:50-83). This module implements that contract
+with explicit path algebra instead of blind ``str.replace``, fixes the
+reference's append-mode duplication bug (data_list_generator.py:57), and
+keeps outputs byte-compatible so reference tooling can read them.
+
+List format: ``"<image_path> <int_label>"`` per line (data/ImageLoader.py:31).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ccst_tpu.config import dataset_spec
+
+
+def parse_list(path: str | Path) -> Tuple[List[str], List[int]]:
+    """Parse a txt list into (paths, labels). Reference `_dataset_info`."""
+    names: List[str] = []
+    labels: List[int] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = line.split(" ")
+            names.append(row[0])
+            labels.append(int(row[1]))
+    return names, labels
+
+
+def write_list(path: str | Path, names: Sequence[str], labels: Sequence[int]) -> None:
+    """Write a txt list (truncating — the reference's append-mode rerun bug is
+    deliberately not reproduced)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for name, label in zip(names, labels):
+            f.write(f"{name} {label}\n")
+
+
+def train_list_path(
+    list_root: str, dataset: str, domain: str, fusion_dir: Optional[str] = None,
+    target: Optional[str] = None,
+) -> str:
+    """Path of a domain's train list.
+
+    ``fusion_dir`` of None/"no_fusion" selects the plain per-dataset lists;
+    otherwise lists live under ``txt_lists/{dataset}_{fusion_dir}/{target}/``
+    (reference data/data_helper.py:70-76).
+    """
+    if fusion_dir in (None, "", "no_fusion"):
+        return os.path.join(list_root, "txt_lists", dataset.lower(), f"{domain}_train.txt")
+    assert target is not None
+    return os.path.join(
+        list_root, "txt_lists", f"{dataset.lower()}_{fusion_dir}", target,
+        f"{domain}_train.txt",
+    )
+
+
+def test_list_path(list_root: str, dataset: str, domain: str) -> str:
+    return os.path.join(list_root, "txt_lists", dataset.lower(), f"{domain}_test.txt")
+
+
+# ---------------------------------------------------------------------------
+# Stylized-output path rewriting (the stage-1 -> stage-2 contract)
+# ---------------------------------------------------------------------------
+
+
+def stylized_output_path(
+    content_path: str, target: str, style: str, mode: str,
+    source_marker: str = "kfold",
+) -> str:
+    """Where the stylized copy of ``content_path`` is written.
+
+    Mirrors CCST_OverallStyleTransfer.py:160-163 / CCST_SingleStyleTransfer.py:
+    ``kfold`` -> ``all_style_transferred_{Overall|Single}``, the target-domain
+    path segment gains a ``/{style}`` subdir, and the filename gains a
+    ``_{style}`` suffix before the extension.
+    """
+    tree = f"all_style_transferred_{mode.capitalize()}"
+    out = content_path.replace(source_marker, tree, 1)
+    out = out.replace(f"{target}", f"{target}/{style}", 1)
+    root, ext = os.path.splitext(out)
+    return f"{root}_{style}{ext}"
+
+
+def unified_original_path(
+    content_path: str, target: str, style_family: str, mode: str,
+    source_marker: str = "kfold",
+) -> str:
+    """Path of the *original* image's copy inside the unified training tree
+    ``{source_marker}_{family}-{mode}-multi/{target}/...``
+    (data/data_list_generator.py:60)."""
+    tree = f"{source_marker}_{style_family}-{mode.lower()}-multi"
+    return content_path.replace(source_marker, f"{tree}/{target}", 1)
+
+
+def unified_tree_path(
+    content_path: str, target: str, style: str, style_family: str, mode: str,
+    source_marker: str = "kfold",
+) -> str:
+    """Path of a stylized image inside the unified training tree, i.e. the
+    unified original path with a ``_{style}`` filename suffix
+    (data/data_list_generator.py:79)."""
+    out = unified_original_path(
+        content_path, target, style_family, mode, source_marker
+    )
+    root, ext = os.path.splitext(out)
+    return f"{root}_{style}{ext}"
+
+
+# ---------------------------------------------------------------------------
+# K-list generation (stage 3)
+# ---------------------------------------------------------------------------
+
+
+def generate_k_lists(
+    list_root: str,
+    dataset: str,
+    target: str,
+    k: int,
+    mode: str = "overall",
+    style_family: str = "adain",
+    seed: int = 1,
+    out_root: Optional[str] = None,
+    source_marker: str = "kfold",
+) -> Dict[str, str]:
+    """Generate fusion-mode train lists for every source client.
+
+    Reference semantics (data/data_list_generator.py:50-83): for each source
+    client and each of its train images, sample K of the N-1 source domains
+    *without replacement*; a draw of the client's own domain keeps the
+    original path, any other domain points at the stylized variant in the
+    unified tree. Deterministic under ``seed``.
+
+    Returns {client: written list path}.
+    """
+    spec = dataset_spec(dataset)
+    if target not in spec.domains:
+        raise ValueError(f"{target!r} not a domain of {dataset}: {spec.domains}")
+    sources = [d for d in spec.domains if d != target]
+    if not 1 <= k <= len(sources):
+        raise ValueError(f"K={k} out of range for {len(sources)} source domains")
+    rng = np.random.default_rng(seed)
+    out_root = out_root or list_root
+    fusion_dir = f"{style_family}-{mode.lower()}-K{k}"
+    written: Dict[str, str] = {}
+    for client in sources:
+        names, labels = parse_list(
+            train_list_path(list_root, dataset, client)
+        )
+        out_names: List[str] = []
+        out_labels: List[int] = []
+        for name, label in zip(names, labels):
+            choices = rng.choice(len(sources), size=k, replace=False)
+            for ci in choices:
+                style = sources[ci]
+                if style == client:
+                    # own-domain draw -> the original's copy in the unified
+                    # tree, no style suffix (data_list_generator.py:71)
+                    out_names.append(
+                        unified_original_path(
+                            name, target, style_family, mode,
+                            source_marker=source_marker,
+                        )
+                    )
+                else:
+                    out_names.append(
+                        unified_tree_path(
+                            name, target, style, style_family, mode,
+                            source_marker=source_marker,
+                        )
+                    )
+                out_labels.append(label)
+        path = train_list_path(
+            out_root, dataset, client, fusion_dir=fusion_dir, target=target
+        )
+        write_list(path, out_names, out_labels)
+        written[client] = path
+    return written
+
+
+def _place(src: str, dst: str, link: bool) -> None:
+    import shutil
+
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        return  # idempotent rerun (reference reorganize_dataset.py:67,73)
+    if link:
+        try:
+            os.link(src, dst)
+            return
+        except OSError:
+            pass
+    shutil.copy2(src, dst)
+
+
+def reorganize_unified_tree(
+    list_root: str,
+    dataset: str,
+    target: str,
+    mode: str,
+    style_family: str = "adain",
+    source_marker: str = "kfold",
+    link: bool = True,
+) -> int:
+    """Materialize the unified training tree for a held-out ``target``.
+
+    For every source client's train-list image: place the original and each
+    other source domain's stylized variant (produced by the stylize stage at
+    ``stylized_output_path``) at their ``unified_*_path`` locations
+    (reference data/reorganize_dataset.py:44-81). The reference copies files;
+    we hardlink by default (same bytes, no disk duplication) with copy
+    fallback. List-driven, so test images are excluded by construction
+    (the reference excludes them by a hardcoded camelyon17 test-list check,
+    reorganize_dataset.py:38-41,54). Returns the number of files placed.
+    """
+    spec = dataset_spec(dataset)
+    sources = [d for d in spec.domains if d != target]
+    count = 0
+    for client in sources:
+        names, _ = parse_list(train_list_path(list_root, dataset, client))
+        for name in names:
+            _place(
+                name,
+                unified_original_path(
+                    name, target, style_family, mode, source_marker
+                ),
+                link,
+            )
+            count += 1
+            for style in sources:
+                if style == client:
+                    continue
+                src = stylized_output_path(
+                    name, client, style, mode, source_marker
+                )
+                if not os.path.exists(src):
+                    raise FileNotFoundError(
+                        f"stylized variant missing: {src} (run the stylize "
+                        f"stage for content={client}, style={style} first)"
+                    )
+                _place(
+                    src,
+                    unified_tree_path(
+                        name, target, style, style_family, mode, source_marker
+                    ),
+                    link,
+                )
+                count += 1
+    return count

@@ -1,0 +1,172 @@
+"""Host-side image loading that keeps the TPU fed.
+
+The reference relies on torch DataLoader worker processes doing PIL
+decode+transform (data/ImageLoader.py:57-67). Here the host pipeline is a
+thread-pool decoder with a bounded prefetch queue producing fixed-shape
+float32/uint8 NHWC batches; device-side preprocessing (normalize, crop, flip)
+lives in ``ccst_tpu.ops.image`` so the HBM sees exactly one host->device
+transfer per batch.
+
+Static shapes: TPU/XLA want a fixed batch shape, so the final partial batch
+is padded and flagged via ``valid`` counts — consumers drop padded rows on
+the host after device work.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def load_image(path: str, size: Optional[int] = None) -> np.ndarray:
+    """Decode one image to float32 HWC RGB in [0, 1].
+
+    ``size`` resizes to (size, size) with bilinear (matching the stylize-side
+    transform Resize(S, S) + ToTensor, cjm_util/data_helper.py:46-49 — note:
+    no ImageNet normalization on the stylize path).
+    """
+    if Image is None:
+        raise RuntimeError("PIL is required for image loading")
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size is not None and im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.float32) / 255.0
+
+
+@dataclass
+class Batch:
+    images: np.ndarray          # (B, H, W, 3) float32 in [0,1]
+    labels: np.ndarray          # (B,) int32
+    paths: List[str]            # len == valid
+    valid: int                  # rows < valid are real; rest padding
+
+
+class ImageBatchLoader:
+    """Iterable over fixed-shape batches with background decoding.
+
+    Decoding runs in ``num_workers`` threads (PIL releases the GIL during
+    JPEG decode) and up to ``prefetch`` assembled batches are buffered, so
+    device compute overlaps host IO — the double-buffered input pipeline the
+    BASELINE throughput target requires.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        labels: Optional[Sequence[int]] = None,
+        *,
+        batch_size: int,
+        image_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_final: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        loop: bool = False,
+    ):
+        self.paths = list(paths)
+        self.labels = np.asarray(
+            labels if labels is not None else np.zeros(len(self.paths)), np.int32
+        )
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.loop = loop
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.paths)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.paths))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _assemble(self, pool: cf.Executor, idxs: np.ndarray) -> Batch:
+        futs = [pool.submit(load_image, self.paths[i], self.image_size) for i in idxs]
+        imgs = [f.result() for f in futs]
+        valid = len(imgs)
+        if valid < self.batch_size and self.pad_final:
+            imgs.extend([np.zeros_like(imgs[0])] * (self.batch_size - valid))
+        images = np.stack(imgs, axis=0)
+        labels = np.zeros((len(imgs),), np.int32)
+        labels[:valid] = self.labels[idxs]
+        return Batch(
+            images=images,
+            labels=labels,
+            paths=[self.paths[i] for i in idxs],
+            valid=valid,
+        )
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def producer() -> None:
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                while True:
+                    order = self._order()
+                    self._epoch += 1
+                    n = len(order)
+                    for start in range(0, n, self.batch_size):
+                        if stop.is_set():
+                            return
+                        chunk = order[start : start + self.batch_size]
+                        if len(chunk) < self.batch_size and self.drop_last:
+                            continue
+                        q.put(self._assemble(pool, chunk))
+                    if not self.loop:
+                        q.put(_SENTINEL)
+                        return
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can observe `stop` and exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)
+
+
+def save_image_u8(array: np.ndarray, path: str) -> None:
+    """Save an HWC float image like torchvision ``save_image``:
+    clamp to [0,1], scale by 255, add 0.5, floor to uint8."""
+    import os
+
+    if Image is None:
+        raise RuntimeError("PIL is required for image saving")
+    arr = np.clip(array, 0.0, 1.0) * 255.0 + 0.5
+    arr = np.clip(arr, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(arr).save(path)

@@ -117,20 +117,23 @@ def conv2d(
 
 
 def maxpool_ceil(x: Array) -> Array:
-    """2x2/2 max pool with ceil_mode=True (trailing -inf padding on odd dims)."""
-    pad_h = x.shape[1] % 2
-    pad_w = x.shape[2] % 2
-    neg_inf = (
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    )
-    return jax.lax.reduce_window(
-        x,
-        init_value=jnp.asarray(neg_inf, x.dtype),
-        computation=jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-    )
+    """2x2/2 max pool with ceil_mode=True (trailing -inf padding on odd dims).
+
+    Implemented as pad + reshape + max (differentiable; XLA lowers it to the
+    same windowed reduction).
+    """
+    n, h, w, c = x.shape
+    pad_h, pad_w = h % 2, w % 2
+    if pad_h or pad_w:
+        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+            constant_values=neg_inf,
+        )
+        h, w = h + pad_h, w + pad_w
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def upsample_nearest2x(x: Array) -> Array:

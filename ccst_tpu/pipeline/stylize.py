@@ -1,0 +1,269 @@
+"""Cross-client style transfer (CCST pipeline stage 2).
+
+TPU-native rebuild of the stylize CLIs
+(style_transfer/AdaIN/CCST_OverallStyleTransfer.py and
+CCST_SingleStyleTransfer.py): for a content domain, produce a stylized copy
+of every train image under each other source domain's style.
+
+Design:
+  - One jitted ``stylize_batch`` (encode -> adain_from_stats -> alpha blend
+    -> decode [-> optional resize]) reused across all styles; style stats are
+    runtime inputs so there is exactly one compilation.
+  - bfloat16 activations/weights with float32 statistics; parity mode (fp32)
+    for verification.
+  - Host IO (decode ahead / encode behind) overlaps device compute via the
+    threaded loader and a write-back thread pool.
+  - "Overall" mode uses a shared per-domain bank; "single" mode samples one
+    random style image per content batch and computes its relu4_1 stats
+    on-device (CCST_SingleStyleTransfer.py:195-208), seeded like the
+    reference (seed=1).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import os
+import random
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccst_tpu.config import StylizeConfig, dataset_spec
+from ccst_tpu.data.lists import (
+    parse_list,
+    stylized_output_path,
+    train_list_path,
+)
+from ccst_tpu.data.loader import ImageBatchLoader, save_image_u8
+from ccst_tpu.models import vgg
+from ccst_tpu.ops.adain import adain_from_stats, alpha_blend, calc_mean_std
+
+Array = jax.Array
+
+
+def resize_bilinear(images: Array, size: int) -> Array:
+    """Antialiased bilinear resize (torchvision Resize parity for
+    downscaling, e.g. camelyon17's 512 -> 96, CCST_OverallStyleTransfer.py:154)."""
+    n, h, w, c = images.shape
+    return jax.image.resize(
+        images, (n, size, size, c), method="bilinear", antialias=True
+    )
+
+
+class StylizeEngine:
+    """Compiled AdaIN stylization on one device.
+
+    Weights are cast once to the compute dtype and kept on device.
+    """
+
+    def __init__(
+        self,
+        encoder_params,
+        decoder_params,
+        *,
+        dtype=jnp.bfloat16,
+        output_size: int = -1,
+    ):
+        self.dtype = jnp.dtype(dtype)
+        self.enc = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), encoder_params)
+        self.dec = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), decoder_params)
+        self.output_size = output_size
+
+        @jax.jit
+        def _stylize(enc, dec, images, s_mean, s_std, alpha):
+            x = images.astype(self.dtype)
+            feat = vgg.apply_encoder(enc, x)
+            t = adain_from_stats(feat, s_mean, s_std)
+            t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+            out = vgg.apply_decoder(dec, t)
+            out = out.astype(jnp.float32)
+            if self.output_size > 0:
+                out = resize_bilinear(out, self.output_size)
+            return out
+
+        @jax.jit
+        def _style_stats(enc, image):
+            feat = vgg.apply_encoder(enc, image)
+            # single style image: population (biased) stats like the
+            # reference's calc_sum finalization (CCST_SingleStyleTransfer.py:201-204)
+            mean, std = calc_mean_std(feat, ddof=0)
+            return mean[0, 0, 0, :], std[0, 0, 0, :]
+
+        self._stylize = _stylize
+        self._style_stats = _style_stats
+
+    def stylize(self, images: Array, s_mean, s_std, alpha: float = 1.0) -> Array:
+        """(B,H,W,3) [0,1] content -> stylized float32 images (unclamped)."""
+        return self._stylize(
+            self.enc,
+            self.dec,
+            images,
+            jnp.asarray(s_mean, jnp.float32),
+            jnp.asarray(s_std, jnp.float32),
+            alpha,
+        )
+
+    def style_stats_of(self, image: Array) -> Tuple[Array, Array]:
+        """relu4_1 (mean, std) channel vectors of a single (1,H,W,3) image."""
+        return self._style_stats(self.enc, image)
+
+
+# ---------------------------------------------------------------------------
+# Offline transfer drivers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TransferReport:
+    target: str
+    styles: List[str]
+    images: int          # content images stylized per style
+    seconds: float
+    images_per_sec: float
+
+
+def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
+    names, labels = parse_list(
+        train_list_path(cfg.list_root, cfg.dataset, cfg.target)
+    )
+    paths = (
+        [os.path.join(cfg.data_root, n) for n in names] if cfg.data_root else names
+    )
+    loader = ImageBatchLoader(
+        paths,
+        labels,
+        batch_size=cfg.batch_size,
+        image_size=cfg.image_size,
+        shuffle=False,
+    )
+    return loader, names
+
+
+def _writeback(
+    pool: cf.Executor,
+    outputs: np.ndarray,
+    batch_paths: Sequence[str],
+    rel_names: Sequence[str],
+    cfg: StylizeConfig,
+    style: str,
+    mode: str,
+) -> List[cf.Future]:
+    futs = []
+    for img, rel in zip(outputs, rel_names):
+        out_rel = stylized_output_path(rel, cfg.target, style, mode)
+        if cfg.save_ext:
+            out_rel = os.path.splitext(out_rel)[0] + cfg.save_ext
+        out_path = (
+            os.path.join(cfg.output_root, out_rel) if cfg.output_root else out_rel
+        )
+        futs.append(pool.submit(save_image_u8, img, out_path))
+    return futs
+
+
+def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> TransferReport:
+    spec = dataset_spec(cfg.dataset)
+    styles = [d for d in spec.domains if d != cfg.target]
+    loader, rel_names = _content_loader(cfg)
+
+    single = mode.lower() == "single"
+    rng = random.Random(cfg.seed)
+    style_lists: Dict[str, List[str]] = {}
+    if single:
+        for style in styles:
+            s_names, _ = parse_list(
+                train_list_path(cfg.list_root, cfg.dataset, style)
+            )
+            style_lists[style] = (
+                [os.path.join(cfg.data_root, n) for n in s_names]
+                if cfg.data_root
+                else s_names
+            )
+
+    from ccst_tpu.data.loader import load_image
+    from ccst_tpu.pipeline.style_bank import load_style_stats
+
+    t0 = time.perf_counter()
+    n_done = 0
+    with cf.ThreadPoolExecutor(8) as pool:
+        for style in styles:
+            if not single:
+                stats_path = os.path.join(
+                    cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
+                )
+                if not os.path.exists(stats_path):
+                    stats_path = stats_path[:-4] + ".npy"
+                s_mean, s_std = load_style_stats(stats_path)
+            offset = 0
+            futs: List[cf.Future] = []
+            for batch in loader:
+                if single:
+                    style_img = load_image(
+                        rng.choice(style_lists[style]), cfg.image_size
+                    )
+                    s_mean, s_std = engine.style_stats_of(
+                        jnp.asarray(style_img)[None]
+                    )
+                out = engine.stylize(
+                    jnp.asarray(batch.images), s_mean, s_std, cfg.alpha
+                )
+                out_np = np.asarray(out[: batch.valid])
+                rel = rel_names[offset : offset + batch.valid]
+                futs.extend(
+                    _writeback(pool, out_np, batch.paths, rel, cfg, style, mode)
+                )
+                offset += batch.valid
+                n_done += batch.valid
+            for f in futs:
+                f.result()
+
+    elapsed = time.perf_counter() - t0
+    report = TransferReport(
+        target=cfg.target,
+        styles=styles,
+        images=n_done // max(len(styles), 1),
+        seconds=elapsed,
+        images_per_sec=n_done / max(elapsed, 1e-9),
+    )
+    _write_timing(cfg, mode, report)
+    return report
+
+
+def _write_timing(cfg: StylizeConfig, mode: str, report: TransferReport) -> None:
+    """Timing artifact equivalent to e.g.
+    ``pacs_art_painting_overall_stylize_time.txt``
+    (CCST_OverallStyleTransfer.py:171-175)."""
+    root = cfg.output_root or "."
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(
+        root, f"{cfg.dataset.lower()}_{cfg.target}_{mode.lower()}_stylize_time.json"
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "target": report.target,
+                "styles": report.styles,
+                "seconds": report.seconds,
+                "images_per_style": report.images,
+                "images_per_sec": report.images_per_sec,
+                "image_size": cfg.image_size,
+                "batch_size": cfg.batch_size,
+            },
+            f,
+            indent=2,
+        )
+
+
+def run_overall_transfer(cfg: StylizeConfig, engine: StylizeEngine) -> TransferReport:
+    """Domain-bank ("Overall") cross-client transfer
+    (CCST_OverallStyleTransfer.py:138-167)."""
+    return _run_transfer(cfg, engine, "overall")
+
+
+def run_single_transfer(cfg: StylizeConfig, engine: StylizeEngine) -> TransferReport:
+    """Per-batch random single-style transfer
+    (CCST_SingleStyleTransfer.py:163-224)."""
+    return _run_transfer(cfg, engine, "single")
