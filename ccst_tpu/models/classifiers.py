@@ -49,9 +49,9 @@ def make_norm(kind: str):
             bias_init=nn.initializers.zeros,
         )
     if kind == "in":
-        return lambda use_running_average=None, **kw: InstanceNorm()
+        return lambda use_running_average=None, name=None, **kw: InstanceNorm(name=name)
     if kind == "statfree":
-        return lambda use_running_average=None, **kw: StatFreeNorm()
+        return lambda use_running_average=None, name=None, **kw: StatFreeNorm(name=name)
     raise ValueError(f"unknown norm kind {kind!r}")
 
 
@@ -67,15 +67,15 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, kernel_init=kaiming_normal_fan_out)
         identity = x
         out = conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1)(x)
-        out = norm(use_running_average=not train)(out)
+        out = norm(use_running_average=not train, name="bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, (3, 3), padding=1)(out)
-        out = norm(use_running_average=not train)(out)
+        out = norm(use_running_average=not train, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = conv(
                 self.planes * self.expansion, (1, 1), strides=(self.stride, self.stride)
             )(x)
-            identity = norm(use_running_average=not train)(identity)
+            identity = norm(use_running_average=not train, name="bn_down")(identity)
         return nn.relu(out + identity)
 
 
@@ -91,19 +91,19 @@ class Bottleneck(nn.Module):
         conv = partial(nn.Conv, use_bias=False, kernel_init=kaiming_normal_fan_out)
         identity = x
         out = conv(self.planes, (1, 1))(x)
-        out = norm(use_running_average=not train)(out)
+        out = norm(use_running_average=not train, name="bn1")(out)
         out = nn.relu(out)
         # torchvision v1.5: stride on the 3x3
         out = conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1)(out)
-        out = norm(use_running_average=not train)(out)
+        out = norm(use_running_average=not train, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, (1, 1))(out)
-        out = norm(use_running_average=not train)(out)
+        out = norm(use_running_average=not train, name="bn3")(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = conv(
                 self.planes * self.expansion, (1, 1), strides=(self.stride, self.stride)
             )(x)
-            identity = norm(use_running_average=not train)(identity)
+            identity = norm(use_running_average=not train, name="bn_down")(identity)
         return nn.relu(out + identity)
 
 
@@ -126,7 +126,7 @@ class ResNet(nn.Module):
     mixstyle_alpha: float = 0.1
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True):
+    def __call__(self, x: Array, train: bool = True, return_features: bool = False):
         norm = make_norm(self.norm)
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         x = nn.Conv(
@@ -155,6 +155,8 @@ class ResNet(nn.Module):
                 x = mix(x, train=train)
 
         x = global_avg_pool(x)
+        if return_features:
+            return x  # pooled penultimate vector (RSC's featurizer output)
         logits = nn.Dense(self.classes, name="class_classifier")(x)
         if self.jigsaw:
             jig = nn.Dense(JIGSAW_CLASSES, name="jig_classifier")(x)
@@ -201,7 +203,7 @@ class DenseNet(nn.Module):
     mixstyle: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True):
+    def __call__(self, x: Array, train: bool = True, return_features: bool = False):
         x = nn.Conv(
             self.num_init_features, (7, 7), strides=(2, 2), padding=3,
             use_bias=False, kernel_init=kaiming_normal_fan_out, name="conv0",
@@ -236,6 +238,8 @@ class DenseNet(nn.Module):
         x = StatFreeNorm()(x)
         x = nn.relu(x)
         x = global_avg_pool(x)
+        if return_features:
+            return x
         logits = nn.Dense(self.classes, name="classifier")(x)
         if self.jigsaw:
             jig = nn.Dense(JIGSAW_CLASSES, name="jig_classifier")(x)
@@ -252,22 +256,22 @@ class DigitModel(nn.Module):
     def __call__(self, x: Array, train: bool = True):
         bn = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
         x = nn.Conv(64, (5, 5), padding=2)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_same(x, 2, 2, 0)
         x = nn.Conv(64, (5, 5), padding=2)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn2")(x)
         x = nn.relu(x)
         x = max_pool_same(x, 2, 2, 0)
         x = nn.Conv(128, (5, 5), padding=2)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn3")(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(2048)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn4")(x)
         x = nn.relu(x)
         x = nn.Dense(512)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn5")(x)
         x = nn.relu(x)
         return nn.Dense(self.classes, name="class_classifier")(x)
 
