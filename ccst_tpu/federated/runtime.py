@@ -126,8 +126,18 @@ class FederatedRunner:
                 max_scale=cfg.max_scale,
             )
         )
+        # --IN_test: evaluate with every BatchNorm swapped for an affine
+        # InstanceNorm reusing the BN scale/bias (fed_run.py:218-232). The
+        # zoo names norm modules identically across kinds, so the same params
+        # tree applies.
+        eval_model = self.model
+        if cfg.in_test:
+            if not hasattr(self.model, "norm"):
+                raise ValueError(f"--IN_test unsupported for {cfg.network}")
+            eval_model = self.model.clone(norm="in")
+        self.eval_model = eval_model
         self._eval_step = jax.jit(
-            make_eval_step(self.model, image_size=cfg.image_size)
+            make_eval_step(eval_model, image_size=cfg.image_size)
         )
         self._aggregate = jax.jit(
             lambda cp, cs, w: aggregate(cfg.mode, cp, cs, w),

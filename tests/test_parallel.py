@@ -1,0 +1,127 @@
+"""Mesh-parallel paths on the 8-device virtual CPU mesh: client-parallel
+federated training and spatially-sharded stylization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccst_tpu.federated.train_ops import make_train_step
+from ccst_tpu.models import vgg
+from ccst_tpu.models.classifiers import get_network
+from ccst_tpu.parallel.fed_mesh import (
+    ParallelFedTrainer,
+    make_fed_mesh,
+    stack_step_batches,
+)
+from ccst_tpu.parallel.spatial import make_spatial_mesh, make_spatial_stylize
+
+
+def make_client_states(model, n, seed=0):
+    x = jnp.ones((1, 36, 36, 3))
+    states = []
+    for i in range(n):
+        v = model.init(jax.random.PRNGKey(seed), x, train=False)  # same init
+        states.append({"params": v["params"], "batch_stats": v.get("batch_stats", {})})
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def batches_for(rng, n_batches, b=4, size=36, classes=4):
+    out = []
+    for _ in range(n_batches):
+        out.append(
+            {
+                "images": jnp.asarray(rng.random((b, size, size, 3), np.float32)),
+                "labels": jnp.asarray(rng.integers(0, classes, b)),
+                "mask": jnp.ones((b,), jnp.float32),
+            }
+        )
+    return out
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_parallel_fed_epoch_and_aggregate(rng, use_mesh):
+    model = get_network("resnet4", classes=4)
+    n_clients = 2
+    step = make_train_step(model, n_classes=4, image_size=36, lr=0.05)
+    mesh = make_fed_mesh(2, 4) if use_mesh else None
+    trainer = ParallelFedTrainer(
+        step, "fedavg", jnp.asarray([0.5, 0.5]), mesh=mesh
+    )
+    states = make_client_states(model, n_clients)
+    if mesh is not None:
+        states = trainer.shard_states(states)
+    server_params = jax.tree.map(lambda x: x[0], states["params"])
+
+    # clients with different epoch lengths: 3 vs 2 batches
+    client_batches = [batches_for(rng, 3), batches_for(rng, 2)]
+    stacked = stack_step_batches(client_batches, lambda b: b)
+    new_states, metrics = trainer.run_epoch(
+        states, server_params, stacked, jax.random.PRNGKey(0)
+    )
+    assert metrics["train_acc"].shape == (2,)
+    # params actually moved, for both clients
+    for ci in range(2):
+        before = np.asarray(states["params"]["conv1"]["kernel"][ci])
+        after = np.asarray(new_states["params"]["conv1"]["kernel"][ci])
+        assert not np.allclose(before, after)
+    # aggregation
+    sp, ss, ncp, ncs = trainer.communicate(
+        new_states["params"], new_states["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ncp["conv1"]["kernel"][0]),
+        np.asarray(ncp["conv1"]["kernel"][1]),
+        rtol=1e-6,
+    )
+
+
+def test_parallel_matches_sequential(rng):
+    """vmapped client steps must equal running each client separately."""
+    model = get_network("resnet4", classes=4)
+    step_fn = make_train_step(model, n_classes=4, image_size=36, lr=0.05)
+    step = jax.jit(step_fn)
+    states = make_client_states(model, 2)
+    server_params = jax.tree.map(lambda x: x[0], states["params"])
+    batch_data = batches_for(rng, 1)[0]
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    # sequential
+    seq_out = []
+    for ci in range(2):
+        st = jax.tree.map(lambda x: x[ci], states)
+        st2, _ = step(st, server_params, batch_data, rngs[ci], jnp.asarray(0))
+        seq_out.append(st2)
+
+    # parallel
+    trainer = ParallelFedTrainer(step_fn, "fedavg", jnp.asarray([0.5, 0.5]))
+    stacked_batch = jax.tree.map(lambda x: jnp.stack([x, x]), batch_data)
+    par_states, _ = trainer.step(
+        states, server_params, stacked_batch, rngs, jnp.asarray(0)
+    )
+    for ci in range(2):
+        np.testing.assert_allclose(
+            np.asarray(par_states["params"]["conv1"]["kernel"][ci]),
+            np.asarray(seq_out[ci]["params"]["conv1"]["kernel"]),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
+def test_spatial_sharded_stylize_matches_single_device(rng):
+    """H-sharded stylization must be numerically identical to unsharded
+    (XLA inserts the halo exchanges)."""
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = rng.random((1, 128, 64, 3), dtype=np.float32)
+    s_mean = rng.standard_normal(512, dtype=np.float32) * 0.05
+    s_std = (rng.random(512, dtype=np.float32) * 0.1 + 0.05).astype(np.float32)
+
+    mesh = make_spatial_mesh(4)
+    sharded = make_spatial_stylize(mesh, dtype=jnp.float32)
+    out_sharded = np.asarray(sharded(enc, dec, images, s_mean, s_std, 1.0))
+
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    engine = StylizeEngine(enc, dec, dtype=jnp.float32)
+    out_single = np.asarray(engine.stylize(jnp.asarray(images), s_mean, s_std, 1.0))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
