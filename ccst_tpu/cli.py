@@ -1,0 +1,364 @@
+"""ccst-tpu — one CLI for the whole framework.
+
+The reference spreads its pipeline over six per-stage scripts with drifting
+argparse flags (SURVEY.md §5.6). Here every stage is a subcommand over the
+shared typed config:
+
+  python -m ccst_tpu.cli style-bank   --dataset pacs --domain art_painting ...
+  python -m ccst_tpu.cli stylize      --dataset pacs --target photo --mode overall ...
+  python -m ccst_tpu.cli reorganize   --dataset pacs --target photo --mode overall ...
+  python -m ccst_tpu.cli gen-lists    --dataset pacs --target photo --k 3 ...
+  python -m ccst_tpu.cli amp-bank     --dataset pacs --domain photo ...
+  python -m ccst_tpu.cli fed-train    --dataset pacs --target photo --mode fedavg ...
+  python -m ccst_tpu.cli fed-test     --dataset pacs --target photo --checkpoint best
+  python -m ccst_tpu.cli invert-train --dataset pacs --source art_painting ...
+  python -m ccst_tpu.cli invert-eval  --dataset pacs --source art_painting ...
+  python -m ccst_tpu.cli bench
+
+Stage pipelining for a full CCST run (reference README.md:24-44):
+  style-bank (per domain) -> stylize (per target) -> reorganize -> gen-lists
+  -> fed-train.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from dataclasses import fields
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls, skip=()) -> None:
+    for f in fields(cls):
+        if f.name in skip:
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, action="store_true", default=f.default)
+        else:
+            caster = type(f.default) if f.default is not None else str
+            parser.add_argument(arg, type=caster, default=f.default)
+
+
+def _dataclass_from_args(cls, args, **overrides) -> Any:
+    kw = {}
+    for f in fields(cls):
+        if hasattr(args, f.name):
+            kw[f.name] = getattr(args, f.name)
+    kw.update(overrides)
+    return cls(**kw)
+
+
+def _load_engine_params(args):
+    import jax
+
+    from ccst_tpu.models import vgg
+    from ccst_tpu.models.convert import load_decoder, load_encoder
+
+    if getattr(args, "vgg_weights", ""):
+        enc = load_encoder(args.vgg_weights)
+    else:
+        print("[warn] no --vgg-weights given; using random encoder init")
+        enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    if getattr(args, "decoder_weights", ""):
+        dec = load_decoder(args.decoder_weights)
+    else:
+        print("[warn] no --decoder-weights given; using random decoder init")
+        dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    return enc, dec
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_style_bank(args) -> int:
+    from ccst_tpu.config import StylizeConfig, dataset_spec
+
+    cfg = _dataclass_from_args(StylizeConfig, args)
+    enc, _ = _load_engine_params(args)
+    domains = (
+        [args.domain] if args.domain else list(dataset_spec(cfg.dataset).domains)
+    )
+    from ccst_tpu.pipeline.style_bank import compute_style_bank
+
+    for domain in domains:
+        mean, std = compute_style_bank(cfg, domain, encoder_params=enc)
+        print(f"{domain}: bank mean|std norms = {np.linalg.norm(mean):.3f} | "
+              f"{np.linalg.norm(std):.3f}")
+    return 0
+
+
+def cmd_stylize(args) -> int:
+    import jax.numpy as jnp
+
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.pipeline.stylize import (
+        StylizeEngine,
+        run_overall_transfer,
+        run_single_transfer,
+    )
+
+    cfg = _dataclass_from_args(StylizeConfig, args)
+    enc, dec = _load_engine_params(args)
+    engine = StylizeEngine(
+        enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size
+    )
+    run = run_single_transfer if cfg.mode.lower() == "single" else run_overall_transfer
+    report = run(cfg, engine)
+    print(
+        json.dumps(
+            {
+                "target": report.target,
+                "styles": report.styles,
+                "images_per_style": report.images,
+                "seconds": round(report.seconds, 2),
+                "images_per_sec": round(report.images_per_sec, 2),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_reorganize(args) -> int:
+    from ccst_tpu.data.lists import reorganize_unified_tree
+
+    n = reorganize_unified_tree(
+        args.list_root, args.dataset, args.target, args.mode,
+        style_family=args.style, link=not args.copy,
+        data_root=args.data_root,
+    )
+    print(f"placed {n} files in the unified tree for target={args.target}")
+    return 0
+
+
+def cmd_gen_lists(args) -> int:
+    from ccst_tpu.data.lists import generate_k_lists
+
+    written = generate_k_lists(
+        args.list_root, args.dataset, args.target, args.k,
+        mode=args.mode, style_family=args.style, seed=args.seed,
+    )
+    for client, path in written.items():
+        print(f"{client}: {path}")
+    return 0
+
+
+def cmd_amp_bank(args) -> int:
+    from ccst_tpu.pipeline.amp_bank import compute_amp_bank
+
+    n = compute_amp_bank(
+        list_root=args.list_root,
+        data_root=args.data_root,
+        dataset=args.dataset,
+        domain=args.domain,
+        image_size=args.image_size,
+        out_root=args.out_root or args.list_root,
+    )
+    print(f"wrote {n} amplitude spectra for {args.domain}")
+    return 0
+
+
+def cmd_fed_train(args) -> int:
+    from ccst_tpu.config import FedConfig
+    from ccst_tpu.federated.runtime import FederatedRunner
+
+    cfg = _dataclass_from_args(FedConfig, args)
+    amp_bank = None
+    if cfg.dg_method.lower() == "feddg":
+        from ccst_tpu.pipeline.amp_bank import load_amp_bank
+
+        amp_bank = load_amp_bank(
+            args.list_root, cfg.dataset, cfg.source_domains, max_per_domain=64
+        )
+    runner = FederatedRunner(cfg, amp_bank=amp_bank)
+    result = runner.run()
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_fed_test(args) -> int:
+    from ccst_tpu.config import FedConfig
+    from ccst_tpu.federated.runtime import FederatedRunner
+
+    cfg = _dataclass_from_args(FedConfig, args, test_only=True)
+    runner = FederatedRunner(cfg)
+    if cfg.tent:
+        from ccst_tpu.federated.tent import tent_test
+        from ccst_tpu.utils.checkpoint import load_checkpoint
+
+        import jax.numpy as jnp
+        import jax
+
+        payload = load_checkpoint(runner.ckpt[args.checkpoint])
+        state = jax.tree.map(jnp.asarray, payload["server"])
+        _, acc = runner.evaluate(state, runner.test_loader)
+        print(f"pre-tent accuracy: {acc:.4f}")
+        _, acc = tent_test(
+            runner.eval_model, state, runner.test_loader, cfg.image_size,
+            logger=runner.logger,
+        )
+        print(f"tent accuracy: {acc:.4f}")
+    else:
+        acc = runner.test_only(args.checkpoint)
+        print(f"target test accuracy: {acc:.4f}")
+    return 0
+
+
+def cmd_invert_train(args) -> int:
+    from ccst_tpu.privacy.invert import InvertConfig, train_inverter
+
+    cfg = InvertConfig(
+        dataset=args.dataset,
+        source=args.source,
+        list_root=args.list_root,
+        data_root=args.data_root,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        steps=args.steps,
+        lr=args.lr,
+        seed=args.seed,
+        out_dir=args.out_dir,
+        vgg_weights=args.vgg_weights,
+    )
+    best = train_inverter(cfg)
+    print(json.dumps(best))
+    return 0
+
+
+def cmd_invert_eval(args) -> int:
+    from ccst_tpu.privacy.invert import InvertConfig, evaluate_inverter
+
+    cfg = InvertConfig(
+        dataset=args.dataset,
+        source=args.source,
+        list_root=args.list_root,
+        data_root=args.data_root,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        out_dir=args.out_dir,
+        vgg_weights=args.vgg_weights,
+    )
+    report = evaluate_inverter(cfg, target=args.target, overall=args.overall)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def cmd_summarize(args) -> int:
+    from ccst_tpu.utils.metrics import summarize_many
+
+    print(json.dumps(summarize_many(args.logs, args.expected_rounds), indent=2))
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(prog="ccst-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from ccst_tpu.config import FedConfig, StylizeConfig
+
+    p = sub.add_parser("style-bank", help="compute per-domain style statistics")
+    _add_dataclass_args(p, StylizeConfig)
+    p.add_argument("--domain", default="", help="single domain (default: all)")
+    p.set_defaults(fn=cmd_style_bank)
+
+    p = sub.add_parser("stylize", help="cross-client style transfer")
+    _add_dataclass_args(p, StylizeConfig)
+    p.set_defaults(fn=cmd_stylize)
+
+    p = sub.add_parser("reorganize", help="materialize the unified training tree")
+    for name, default in (
+        ("--dataset", "pacs"), ("--target", ""), ("--mode", "overall"),
+        ("--style", "adain"), ("--list-root", ""), ("--data-root", ""),
+    ):
+        p.add_argument(name, default=default)
+    p.add_argument("--copy", action="store_true", help="copy instead of hardlink")
+    p.set_defaults(fn=cmd_reorganize)
+
+    p = sub.add_parser("gen-lists", help="generate K-sampled fusion lists")
+    for name, default in (
+        ("--dataset", "pacs"), ("--target", ""), ("--mode", "overall"),
+        ("--style", "adain"), ("--list-root", ""),
+    ):
+        p.add_argument(name, default=default)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--seed", type=int, default=1)
+    p.set_defaults(fn=cmd_gen_lists)
+
+    p = sub.add_parser("amp-bank", help="precompute FedDG amplitude spectra")
+    for name, default in (
+        ("--dataset", "pacs"), ("--domain", ""), ("--list-root", ""),
+        ("--data-root", ""), ("--out-root", ""),
+    ):
+        p.add_argument(name, default=default)
+    p.add_argument("--image-size", type=int, default=222)
+    p.set_defaults(fn=cmd_amp_bank)
+
+    p = sub.add_parser("fed-train", help="federated training")
+    _add_dataclass_args(p, FedConfig)
+    p.set_defaults(fn=cmd_fed_train)
+
+    p = sub.add_parser("fed-test", help="evaluate a federated checkpoint")
+    _add_dataclass_args(p, FedConfig)
+    p.add_argument("--checkpoint", default="best", choices=["best", "latest"])
+    p.set_defaults(fn=cmd_fed_test)
+
+    p = sub.add_parser("invert-train", help="train a style-statistic inverter")
+    for name, default, caster in (
+        ("--dataset", "pacs", str), ("--source", "", str), ("--list-root", "", str),
+        ("--data-root", "", str), ("--out-dir", "inverter", str),
+        ("--vgg-weights", "", str),
+    ):
+        p.add_argument(name, default=default, type=caster)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--seed", type=int, default=1)
+    p.set_defaults(fn=cmd_invert_train)
+
+    p = sub.add_parser("invert-eval", help="PSNR/LPIPS of style-stat inversion")
+    for name, default, caster in (
+        ("--dataset", "pacs", str), ("--source", "", str), ("--target", "", str),
+        ("--list-root", "", str), ("--data-root", "", str),
+        ("--out-dir", "inverter", str), ("--vgg-weights", "", str),
+    ):
+        p.add_argument(name, default=default, type=caster)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--overall", action="store_true",
+                   help="invert the domain-level Overall statistic")
+    p.set_defaults(fn=cmd_invert_eval)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("summarize", help="read_log-style multi-run summary")
+    p.add_argument("logs", nargs="+")
+    p.add_argument("--expected-rounds", type=int, default=None)
+    p.set_defaults(fn=cmd_summarize)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,6 +215,7 @@ def reorganize_unified_tree(
     style_family: str = "adain",
     source_marker: str = "kfold",
     link: bool = True,
+    data_root: str = "",
 ) -> int:
     """Materialize the unified training tree for a held-out ``target``.
 
@@ -229,14 +230,18 @@ def reorganize_unified_tree(
     """
     spec = dataset_spec(dataset)
     sources = [d for d in spec.domains if d != target]
+    root = data_root or list_root
+    absolute = lambda p: p if os.path.isabs(p) else os.path.join(root, p)
     count = 0
     for client in sources:
         names, _ = parse_list(train_list_path(list_root, dataset, client))
         for name in names:
             _place(
-                name,
-                unified_original_path(
-                    name, target, style_family, mode, source_marker
+                absolute(name),
+                absolute(
+                    unified_original_path(
+                        name, target, style_family, mode, source_marker
+                    )
                 ),
                 link,
             )
@@ -244,8 +249,8 @@ def reorganize_unified_tree(
             for style in sources:
                 if style == client:
                     continue
-                src = stylized_output_path(
-                    name, client, style, mode, source_marker
+                src = absolute(
+                    stylized_output_path(name, client, style, mode, source_marker)
                 )
                 if not os.path.exists(src):
                     raise FileNotFoundError(
@@ -254,8 +259,10 @@ def reorganize_unified_tree(
                     )
                 _place(
                     src,
-                    unified_tree_path(
-                        name, target, style, style_family, mode, source_marker
+                    absolute(
+                        unified_tree_path(
+                            name, target, style, style_family, mode, source_marker
+                        )
                     ),
                     link,
                 )

@@ -1,0 +1,127 @@
+"""CLI: subcommand wiring over a synthetic dataset (style-bank -> stylize ->
+reorganize -> gen-lists -> fed-train -> fed-test -> summarize), amp-bank."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ccst_tpu.cli import main as cli_main
+from ccst_tpu.data.lists import parse_list, write_list
+from ccst_tpu.data.loader import save_image_u8
+from ccst_tpu.pipeline.amp_bank import compute_amp_bank, load_amp_bank
+
+DOMAINS = ["art_painting", "cartoon", "photo", "sketch"]
+
+
+@pytest.fixture
+def cli_dataset(tmp_path, rng):
+    root = str(tmp_path)
+    for d in DOMAINS:
+        names, labels = [], []
+        for ci, cls in enumerate(["dog", "horse"]):
+            for i in range(3):
+                rel = f"PACS/kfold/{d}/{cls}/img{i}.png"
+                base = 0.3 if ci == 0 else 0.7
+                save_image_u8(
+                    np.clip(rng.normal(base, 0.1, (36, 36, 3)), 0, 1).astype(np.float32),
+                    os.path.join(root, rel),
+                )
+                names.append(rel)
+                labels.append(ci)
+        write_list(os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"), names, labels)
+        write_list(os.path.join(root, "txt_lists", "pacs", f"{d}_test.txt"), names[:2], labels[:2])
+    return root
+
+
+def run_cli(*argv):
+    return cli_main(list(argv))
+
+
+def test_cli_full_pipeline(cli_dataset, monkeypatch, capsys):
+    import ccst_tpu.config as cc
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DatasetSpec(
+            name="pacs", domains=tuple(DOMAINS), num_classes=2,
+            image_size=36, stylize_size=36,
+        )
+    )
+    root = cli_dataset
+    common = [
+        "--dataset", "pacs", "--list-root", root, "--data-root", root,
+        "--output-root", root,
+        "--style-stats-dir", os.path.join(root, "style_stats"),
+        "--image-size", "36", "--batch-size", "4", "--dtype", "float32",
+    ]
+    # 1. banks for all domains
+    assert run_cli("style-bank", *common, "--target", "photo") == 0
+    # 2. stylize each content domain (needs banks of every other domain: all
+    #    banks exist since --domain was omitted)
+    for content in DOMAINS:
+        assert run_cli("stylize", *common, "--target", content, "--mode", "overall") == 0
+    # 3. reorganize + 4. K-lists for target=photo
+    assert run_cli(
+        "reorganize", "--dataset", "pacs", "--target", "photo",
+        "--mode", "overall", "--list-root", root, "--data-root", root,
+    ) == 0
+    assert run_cli(
+        "gen-lists", "--dataset", "pacs", "--target", "photo",
+        "--mode", "overall", "--k", "2", "--list-root", root,
+    ) == 0
+    klist = os.path.join(
+        root, "txt_lists", "pacs_adain-overall-K2", "photo", "cartoon_train.txt"
+    )
+    names, _ = parse_list(klist)
+    missing = [n for n in names if not os.path.exists(os.path.join(root, n))]
+    assert not missing
+    # 5. fed-train on the fusion lists
+    assert run_cli(
+        "fed-train", "--dataset", "pacs", "--target", "photo",
+        "--mode", "fedavg", "--fusion-mode", "adain-overall-K2",
+        "--network", "resnet4", "--rounds", "1", "--batch-size", "4",
+        "--image-size", "36", "--lr", "0.05",
+        "--list-root", root, "--data-root", root,
+        "--save-path", os.path.join(root, "ckpt"),
+        "--log-path", os.path.join(root, "logs"),
+    ) == 0
+    # 6. fed-test on the checkpoint
+    assert run_cli(
+        "fed-test", "--dataset", "pacs", "--target", "photo",
+        "--mode", "fedavg", "--fusion-mode", "adain-overall-K2",
+        "--network", "resnet4", "--batch-size", "4", "--image-size", "36",
+        "--list-root", root, "--data-root", root,
+        "--save-path", os.path.join(root, "ckpt"),
+        "--log-path", os.path.join(root, "logs"),
+        "--checkpoint", "best",
+    ) == 0
+    # 7. summarize the run log
+    logs = [
+        os.path.join(root, "logs", f)
+        for f in os.listdir(os.path.join(root, "logs"))
+        if f.endswith(".jsonl")
+    ]
+    assert run_cli("summarize", *logs) == 0
+    out = capsys.readouterr().out
+    assert "mean_test_acc_at_best_val" in out
+
+
+def test_amp_bank_roundtrip(cli_dataset):
+    root = cli_dataset
+    n = compute_amp_bank(
+        list_root=root, data_root=root, dataset="pacs",
+        domain="cartoon", image_size=36, out_root=root,
+    )
+    assert n == 6
+    amp_file = os.path.join(root, "PACS/kfold_amp/cartoon/dog/img0.npy")
+    assert os.path.exists(amp_file)
+    amp = np.load(amp_file)
+    assert amp.shape == (3, 36, 36)
+
+    bank = load_amp_bank(root, "pacs", ["cartoon"], max_per_domain=4, data_root=root)
+    assert bank.shape == (4, 3, 36, 36)
+    # fallback path: domain without precomputed npy
+    bank2 = load_amp_bank(
+        root, "pacs", ["sketch"], max_per_domain=2, data_root=root, image_size=36
+    )
+    assert bank2.shape == (2, 3, 36, 36)
