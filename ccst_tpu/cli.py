@@ -249,6 +249,19 @@ def cmd_invert_eval(args) -> int:
     return 0
 
 
+def cmd_split_data(args) -> int:
+    from ccst_tpu.data.lists import split_image_tree
+
+    written = split_image_tree(
+        args.data_root, args.dataset, args.list_root or args.data_root,
+        train_fraction=args.train_fraction, seed=args.seed,
+        tree_subdir=args.tree_subdir,
+    )
+    for domain, (tr, te) in written.items():
+        print(f"{domain}: {tr} | {te}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -347,6 +360,15 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--overall", action="store_true",
                    help="invert the domain-level Overall statistic")
     p.set_defaults(fn=cmd_invert_eval)
+
+    p = sub.add_parser("split-data", help="split an image tree into train/test lists")
+    p.add_argument("--dataset", default="officehome")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--list-root", default="")
+    p.add_argument("--train-fraction", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--tree-subdir", default="")
+    p.set_defaults(fn=cmd_split_data)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -192,6 +192,62 @@ def generate_k_lists(
     return written
 
 
+def split_image_tree(
+    data_root: str,
+    dataset: str,
+    list_root: str,
+    train_fraction: float = 0.8,
+    seed: int = 1,
+    tree_subdir: str = "",
+) -> Dict[str, Tuple[str, str]]:
+    """Walk ``{data_root}/{tree_subdir or dataset}/{domain}/{class}/img`` and
+    write per-domain train/test txt lists with an ``train_fraction`` split
+    (reference utils/split_data.py, which hardcodes OfficeHome and 80/20).
+
+    Class -> label indices are assigned by sorted class-name order, stable
+    across domains. Returns {domain: (train_list, test_list)} paths.
+    """
+    spec = dataset_spec(dataset)
+    tree = os.path.join(data_root, tree_subdir or dataset)
+    rng = np.random.default_rng(seed)
+    # global class registry across domains (sorted for determinism)
+    classes = sorted(
+        {
+            c
+            for d in spec.domains
+            if os.path.isdir(os.path.join(tree, d))
+            for c in os.listdir(os.path.join(tree, d))
+            if os.path.isdir(os.path.join(tree, d, c))
+        }
+    )
+    class_idx = {c: i for i, c in enumerate(classes)}
+    written: Dict[str, Tuple[str, str]] = {}
+    for domain in spec.domains:
+        droot = os.path.join(tree, domain)
+        if not os.path.isdir(droot):
+            continue
+        names: List[str] = []
+        labels: List[int] = []
+        for cls in sorted(os.listdir(droot)):
+            cdir = os.path.join(droot, cls)
+            if not os.path.isdir(cdir):
+                continue
+            for fname in sorted(os.listdir(cdir)):
+                names.append(os.path.relpath(os.path.join(cdir, fname), data_root))
+                labels.append(class_idx[cls])
+        order = rng.permutation(len(names))
+        n_train = int(len(names) * train_fraction)
+        pick = lambda ix: ([names[i] for i in ix], [labels[i] for i in ix])
+        tr = pick(order[:n_train])
+        te = pick(order[n_train:])
+        tr_path = train_list_path(list_root, dataset, domain)
+        te_path = test_list_path(list_root, dataset, domain)
+        write_list(tr_path, *tr)
+        write_list(te_path, *te)
+        written[domain] = (tr_path, te_path)
+    return written
+
+
 def _place(src: str, dst: str, link: bool) -> None:
     import shutil
 

@@ -81,3 +81,62 @@ def build_torch_stack(arch) -> nn.Sequential:
 def sequential_state_dict(module: nn.Sequential):
     """State dict with flat numeric keys, as the reference checkpoints have."""
     return {k: v for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# Minimal torch ResNet with torchvision's exact state-dict key names, for
+# testing the ImageNet-weight converter without torchvision installed.
+# ---------------------------------------------------------------------------
+
+
+class TorchBasicBlock(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet18(nn.Module):
+    """torchvision-compatible resnet18 skeleton (state-dict keys match)."""
+
+    def __init__(self, classes=1000):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for li, planes in enumerate((64, 128, 256, 512), start=1):
+            blocks = []
+            for bi in range(2):
+                stride = 2 if (li > 1 and bi == 0) else 1
+                downsample = None
+                if stride != 1 or inplanes != planes:
+                    downsample = nn.Sequential(
+                        nn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                        nn.BatchNorm2d(planes),
+                    )
+                blocks.append(TorchBasicBlock(inplanes, planes, stride, downsample))
+                inplanes = planes
+            setattr(self, f"layer{li}", nn.Sequential(*blocks))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(512, classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
