@@ -7,18 +7,19 @@ Prints ONE JSON line:
 Baseline: the reference's committed stylize timing — 75.9 img/s at 256px,
 batch 128, on the author's CUDA GPU (BASELINE.md; artifact
 style_transfer/AdaIN/pacs_art_painting_overall_stylize_time.txt). We measure
-at 512px (the resolution the reference README actually uses), which is 4x the
-per-image work — so vs_baseline understates the true speedup.
+at 512px (the resolution the reference README actually uses), 4x the
+per-image work — vs_baseline therefore understates the true speedup.
 
 Measured step: the full Overall-transfer device computation
 (encode -> adain_from_stats -> alpha blend -> decode), bfloat16 with fp32
 statistics, weights resident in HBM.
 
-Methodology: iterations are chained through a data dependency (each step
-stylizes the previous step's output), so no async-dispatch trick can elide
-work, and the final jax.device_get cannot return early. Two measurement
-points (N1, N2 iters) cancel the constant host->device transfer and sync
-overheads: rate = batch * (N2 - N1) / (t2 - t1).
+Methodology: the iteration loop runs ON DEVICE (lax.fori_loop chaining each
+step's output into the next input) inside a single dispatch, and the result
+is fetched with jax.device_get — so neither async dispatch nor unreliable
+host-side completion signals can inflate the number. Two device-loop lengths
+cancel the constant dispatch + transfer overhead:
+  rate = batch * (N2 - N1) / (t2 - t1).
 """
 from __future__ import annotations
 
@@ -27,42 +28,42 @@ import time
 
 import jax
 import jax.numpy as jnp
-
-
-def _chained(engine, images, s_mean, s_std, iters: int) -> float:
-    t0 = time.perf_counter()
-    out = images
-    for _ in range(iters):
-        out = engine.stylize(out, s_mean, s_std, 1.0)
-    jax.device_get(out)
-    return time.perf_counter() - t0
+import numpy as np
 
 
 def main() -> None:
     from ccst_tpu.models import vgg
-    from ccst_tpu.pipeline.stylize import StylizeEngine
+    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    batch = 16
+    batch = 32
     size = 512
-    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
-    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
-    engine = StylizeEngine(enc, dec, dtype=jnp.bfloat16)
-
-    # numpy-generated inputs: avoids extra device compiles (slow on remote-
-    # compile environments); the only compiled program is the stylize step.
-    import numpy as np
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
     s_mean = jnp.asarray(rng.standard_normal(512, dtype=np.float32) * 0.1)
     s_std = jnp.asarray(rng.random(512, dtype=np.float32) * 0.5 + 0.5)
 
-    # warmup / compile + first transfer
-    _chained(engine, images, s_mean, s_std, 1)
+    @jax.jit
+    def chain(enc, dec, images, s_mean, s_std, iters):
+        def body(_, x):
+            feat = vgg.apply_encoder(enc, x.astype(jnp.bfloat16))
+            t = adain_from_stats(feat, s_mean, s_std)
+            t = alpha_blend(t, feat, jnp.asarray(1.0, t.dtype))
+            return vgg.apply_decoder(dec, t).astype(x.dtype)
 
-    n1, n2 = 3, 13
-    t1 = _chained(engine, images, s_mean, s_std, n1)
-    t2 = _chained(engine, images, s_mean, s_std, n2)
+        out = jax.lax.fori_loop(0, iters, body, images)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        jax.device_get(chain(enc, dec, images, s_mean, s_std, jnp.asarray(iters)))
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    n1, n2 = 4, 20
+    t1, t2 = run(n1), run(n2)
     img_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
 
     print(

@@ -98,6 +98,7 @@ class StylizeConfig:
     decoder_weights: str = ""
     dtype: str = "bfloat16"           # compute dtype; stats always float32
     save_ext: str = ""                # "" = keep original extension
+    skip_existing: bool = False       # idempotent reruns: skip done outputs
 
 
 @dataclass
@@ -157,7 +158,9 @@ class FedConfig:
     # parallel execution
     client_axis: str = "client"       # mesh axis clients shard over
     data_axis: str = "data"           # mesh axis batches shard over
-    sim_sequential: bool = False      # single-device reference-parity mode
+    parallel_clients: bool = False    # one vmapped step for ALL clients
+    client_shards: int = 1            # mesh: client-axis size (1 = no mesh)
+    data_shards: int = 1              # mesh: data-axis size
 
     @property
     def spec(self) -> DatasetSpec:

@@ -74,7 +74,13 @@ class ImageBatchLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         loop: bool = False,
+        backend: str = "auto",   # "auto" | "native" | "pil"
     ):
+        if backend == "auto":
+            from ccst_tpu import native
+
+            backend = "native" if native.available() else "pil"
+        self.backend = backend
         self.paths = list(paths)
         self.labels = np.asarray(
             labels if labels is not None else np.zeros(len(self.paths)), np.int32
@@ -104,13 +110,31 @@ class ImageBatchLoader:
         return idx
 
     def _assemble(self, pool: cf.Executor, idxs: np.ndarray) -> Batch:
-        futs = [pool.submit(load_image, self.paths[i], self.image_size) for i in idxs]
-        imgs = [f.result() for f in futs]
-        valid = len(imgs)
-        if valid < self.batch_size and self.pad_final:
-            imgs.extend([np.zeros_like(imgs[0])] * (self.batch_size - valid))
-        images = np.stack(imgs, axis=0)
-        labels = np.zeros((len(imgs),), np.int32)
+        valid = len(idxs)
+        if self.backend == "native":
+            from ccst_tpu import native
+
+            images = native.decode_resize_batch(
+                [self.paths[i] for i in idxs], self.image_size, self.num_workers
+            )
+            if valid < self.batch_size and self.pad_final:
+                images = np.concatenate(
+                    [
+                        images,
+                        np.zeros(
+                            (self.batch_size - valid,) + images.shape[1:], np.float32
+                        ),
+                    ]
+                )
+        else:
+            futs = [
+                pool.submit(load_image, self.paths[i], self.image_size) for i in idxs
+            ]
+            imgs = [f.result() for f in futs]
+            if valid < self.batch_size and self.pad_final:
+                imgs.extend([np.zeros_like(imgs[0])] * (self.batch_size - valid))
+            images = np.stack(imgs, axis=0)
+        labels = np.zeros((images.shape[0],), np.int32)
         labels[:valid] = self.labels[idxs]
         return Batch(
             images=images,
@@ -125,21 +149,24 @@ class ImageBatchLoader:
         _SENTINEL = object()
 
         def producer() -> None:
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                while True:
-                    order = self._order()
-                    self._epoch += 1
-                    n = len(order)
-                    for start in range(0, n, self.batch_size):
-                        if stop.is_set():
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    while True:
+                        order = self._order()
+                        self._epoch += 1
+                        n = len(order)
+                        for start in range(0, n, self.batch_size):
+                            if stop.is_set():
+                                return
+                            chunk = order[start : start + self.batch_size]
+                            if len(chunk) < self.batch_size and self.drop_last:
+                                continue
+                            q.put(self._assemble(pool, chunk))
+                        if not self.loop:
+                            q.put(_SENTINEL)
                             return
-                        chunk = order[start : start + self.batch_size]
-                        if len(chunk) < self.batch_size and self.drop_last:
-                            continue
-                        q.put(self._assemble(pool, chunk))
-                    if not self.loop:
-                        q.put(_SENTINEL)
-                        return
+            except BaseException as exc:  # surface decode errors to the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -148,6 +175,8 @@ class ImageBatchLoader:
                 item = q.get()
                 if item is _SENTINEL:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -160,13 +189,17 @@ class ImageBatchLoader:
 
 
 def save_image_u8(array: np.ndarray, path: str) -> None:
-    """Save an HWC float image like torchvision ``save_image``:
-    clamp to [0,1], scale by 255, add 0.5, floor to uint8."""
+    """Save an HWC image like torchvision ``save_image``: clamp to [0,1],
+    scale by 255, add 0.5, floor to uint8. Arrays already uint8 (e.g. from
+    the engine's on-device quantization) pass through untouched."""
     import os
 
     if Image is None:
         raise RuntimeError("PIL is required for image saving")
-    arr = np.clip(array, 0.0, 1.0) * 255.0 + 0.5
-    arr = np.clip(arr, 0, 255).astype(np.uint8)
+    if array.dtype == np.uint8:
+        arr = array
+    else:
+        arr = np.clip(array, 0.0, 1.0) * 255.0 + 0.5
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(arr).save(path)

@@ -108,24 +108,33 @@ class FederatedRunner:
             jax.tree.map(lambda x: x, self.server) for _ in range(self.n_clients)
         ]
 
-        self._train_step = jax.jit(
-            make_train_step(
-                self.model,
-                n_classes=spec.num_classes,
-                image_size=cfg.image_size,
-                lr=cfg.lr,
-                dg_method=cfg.dg_method,
-                mode=cfg.mode,
-                mu=cfg.mu,
-                jig_weight=cfg.jig_weight,
-                jigsaw_n_classes=cfg.jigsaw_n_classes,
-                bias_whole_image=cfg.bias_whole_image,
-                meta_step_size=cfg.meta_step_size,
-                clip_value=cfg.clip_value,
-                min_scale=cfg.min_scale,
-                max_scale=cfg.max_scale,
-            )
+        raw_step = make_train_step(
+            self.model,
+            n_classes=spec.num_classes,
+            image_size=cfg.image_size,
+            lr=cfg.lr,
+            dg_method=cfg.dg_method,
+            mode=cfg.mode,
+            mu=cfg.mu,
+            jig_weight=cfg.jig_weight,
+            jigsaw_n_classes=cfg.jigsaw_n_classes,
+            bias_whole_image=cfg.bias_whole_image,
+            meta_step_size=cfg.meta_step_size,
+            clip_value=cfg.clip_value,
+            min_scale=cfg.min_scale,
+            max_scale=cfg.max_scale,
         )
+        self._train_step = jax.jit(raw_step)
+        self._ptrainer = None
+        if cfg.parallel_clients:
+            from ccst_tpu.parallel.fed_mesh import ParallelFedTrainer, make_fed_mesh
+
+            mesh = None
+            if cfg.client_shards * cfg.data_shards > 1:
+                mesh = make_fed_mesh(cfg.client_shards, cfg.data_shards)
+            self._ptrainer = ParallelFedTrainer(
+                raw_step, cfg.mode, self.weights, mesh=mesh
+            )
         # --IN_test: evaluate with every BatchNorm swapped for an affine
         # InstanceNorm reusing the BN scale/bias (fed_run.py:218-232). The
         # zoo names norm modules identically across kinds, so the same params
@@ -240,22 +249,51 @@ class FederatedRunner:
         t0 = time.perf_counter()
         rng = jax.random.PRNGKey(cfg.seed * 100003 + round_idx)
         train_metrics = {}
-        for wk in range(cfg.wk_iters):
-            for ci in range(self.n_clients):
-                rng, sub = jax.random.split(rng)
-                self.client_states[ci], m = self.train_client_epoch(
-                    ci, self.client_states[ci], sub
-                )
-                train_metrics[self.clients[ci].name] = m
-
-        cp = stack_clients([s["params"] for s in self.client_states])
         has_stats = bool(self.client_states[0]["batch_stats"])
-        cs = (
-            stack_clients([s["batch_stats"] for s in self.client_states])
-            if has_stats
-            else {}
-        )
-        sp, ss, ncp, ncs = self._aggregate(cp, cs, self.weights)
+        if self._ptrainer is not None:
+            # one vmapped program steps every client per local step
+            from ccst_tpu.parallel.fed_mesh import stack_step_batches
+
+            stacked = stack_clients(self.client_states)
+            stacked = self._ptrainer.shard_states(stacked)
+
+            def to_bd(batch):
+                bd = _batch_dict(batch)
+                if self.amp_bank is not None:
+                    bd["amp_bank"] = self.amp_bank
+                return bd
+
+            for wk in range(cfg.wk_iters):
+                rng, sub = jax.random.split(rng)
+                batches = stack_step_batches(
+                    [self.clients[ci].train for ci in range(self.n_clients)], to_bd
+                )
+                stacked, pm = self._ptrainer.run_epoch(
+                    stacked, self.server["params"], batches, sub
+                )
+            for ci in range(self.n_clients):
+                train_metrics[self.clients[ci].name] = {
+                    "train_loss": float(pm["train_loss"][ci]),
+                    "train_acc": float(pm["train_acc"][ci]),
+                }
+            cp, cs = stacked["params"], (stacked["batch_stats"] if has_stats else {})
+            sp, ss, ncp, ncs = self._ptrainer.communicate(cp, cs)
+        else:
+            for wk in range(cfg.wk_iters):
+                for ci in range(self.n_clients):
+                    rng, sub = jax.random.split(rng)
+                    self.client_states[ci], m = self.train_client_epoch(
+                        ci, self.client_states[ci], sub
+                    )
+                    train_metrics[self.clients[ci].name] = m
+
+            cp = stack_clients([s["params"] for s in self.client_states])
+            cs = (
+                stack_clients([s["batch_stats"] for s in self.client_states])
+                if has_stats
+                else {}
+            )
+            sp, ss, ncp, ncs = self._aggregate(cp, cs, self.weights)
         self.server = {"params": sp, "batch_stats": ss}
         new_params = unstack_clients(ncp, self.n_clients)
         new_stats = (

@@ -67,11 +67,13 @@ class StylizeEngine:
         *,
         dtype=jnp.bfloat16,
         output_size: int = -1,
+        output_u8: bool = False,
     ):
         self.dtype = jnp.dtype(dtype)
         self.enc = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), encoder_params)
         self.dec = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), decoder_params)
         self.output_size = output_size
+        self.output_u8 = output_u8
 
         @jax.jit
         def _stylize(enc, dec, images, s_mean, s_std, alpha):
@@ -83,6 +85,11 @@ class StylizeEngine:
             out = out.astype(jnp.float32)
             if self.output_size > 0:
                 out = resize_bilinear(out, self.output_size)
+            if self.output_u8:
+                # on-device save_image quantization (clamp, x255, +0.5, floor)
+                # -> 4x less device->host traffic than float32
+                out = jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5
+                out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
             return out
 
         @jax.jit
@@ -164,6 +171,13 @@ def _writeback(
     return futs
 
 
+def _out_path_of(cfg: StylizeConfig, rel: str, style: str, mode: str) -> str:
+    out_rel = stylized_output_path(rel, cfg.target, style, mode)
+    if cfg.save_ext:
+        out_rel = os.path.splitext(out_rel)[0] + cfg.save_ext
+    return os.path.join(cfg.output_root, out_rel) if cfg.output_root else out_rel
+
+
 def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> TransferReport:
     spec = dataset_spec(cfg.dataset)
     styles = [d for d in spec.domains if d != cfg.target]
@@ -197,9 +211,26 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                 if not os.path.exists(stats_path):
                     stats_path = stats_path[:-4] + ".npy"
                 s_mean, s_std = load_style_stats(stats_path)
+            style_loader, style_rels = loader, rel_names
+            if cfg.skip_existing:
+                missing = [
+                    i
+                    for i, rel in enumerate(rel_names)
+                    if not os.path.exists(_out_path_of(cfg, rel, style, mode))
+                ]
+                if not missing:
+                    continue
+                style_rels = [rel_names[i] for i in missing]
+                style_loader = ImageBatchLoader(
+                    [loader.paths[i] for i in missing],
+                    [loader.labels[i] for i in missing],
+                    batch_size=cfg.batch_size,
+                    image_size=cfg.image_size,
+                    shuffle=False,
+                )
             offset = 0
             futs: List[cf.Future] = []
-            for batch in loader:
+            for batch in style_loader:
                 if single:
                     style_img = load_image(
                         rng.choice(style_lists[style]), cfg.image_size
@@ -211,7 +242,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                     jnp.asarray(batch.images), s_mean, s_std, cfg.alpha
                 )
                 out_np = np.asarray(out[: batch.valid])
-                rel = rel_names[offset : offset + batch.valid]
+                rel = style_rels[offset : offset + batch.valid]
                 futs.extend(
                     _writeback(pool, out_np, batch.paths, rel, cfg, style, mode)
                 )

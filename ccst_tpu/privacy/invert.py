@@ -135,8 +135,7 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, images):
+    def step_fn(params, opt_state, images):
         z = style_vector(enc16, images.astype(jnp.bfloat16)).astype(jnp.float32)
         z = jax.lax.stop_gradient(z)
 
@@ -147,6 +146,22 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    if mesh is not None:
+        # data-parallel over the mesh's "data" axis — pjit inserts the
+        # gradient all-reduce (replaces the reference's NCCL DDP template,
+        # imagenet_reconstruct.py:141-175)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, data_sh),
+            out_shardings=(repl, repl, repl),
+        )
+    else:
+        step = jax.jit(step_fn)
 
     @jax.jit
     def val_psnr(params, images, valid):

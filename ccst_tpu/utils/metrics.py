@@ -12,22 +12,44 @@ from typing import Any, Dict, Iterable, List, Optional
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer + stdout mirror."""
+    """Append-only JSONL metrics writer + stdout mirror + optional
+    TensorBoard scalars (replacing the reference's tensorboardX/TFLogger
+    double stream, SURVEY.md §2.5)."""
 
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        echo: bool = True,
+        tensorboard: bool = False,
+    ):
         self.path = path
         self.echo = echo
+        self._tb = None
+        self._step = 0
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        if tensorboard and path:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.splitext(path)[0] + "_tb")
+            except ImportError:
+                pass
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"event": event, "time": time.time(), **fields}
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            step = int(fields.get("round", fields.get("step", self._step)))
+            self._step = step + 1
+            for k, v in fields.items():
+                if isinstance(v, (int, float)) and k not in ("round", "step", "time"):
+                    self._tb.add_scalar(f"{event}/{k}", v, step)
         if self.echo:
             printable = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -38,6 +60,8 @@ class MetricsLogger:
     def close(self) -> None:
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def read_rounds(path: str) -> List[Dict[str, Any]]:

@@ -312,6 +312,47 @@ def test_federated_fedbn_mode(fed_dataset, monkeypatch):
     np.testing.assert_allclose(k0, k1, rtol=1e-6)
 
 
+def test_federated_parallel_clients(fed_dataset, monkeypatch):
+    """parallel_clients=True: one vmapped step for all clients, same API."""
+    import ccst_tpu.config as cc
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DATASETS["pacs"].__class__(
+            name="pacs", domains=cc.DATASETS["pacs"].domains, num_classes=2,
+            image_size=36, stylize_size=64,
+        )
+    )
+    cfg = small_fed_cfg(fed_dataset, rounds=2, parallel_clients=True)
+    runner = FederatedRunner(cfg)
+    result = runner.run()
+    assert 0.0 <= result["test_acc"] <= 1.0
+    rec_keys = [c.name for c in runner.clients]
+    assert set(rec_keys) == {"art_painting", "cartoon", "sketch"}
+    # client states were refreshed from the server (fedavg broadcast)
+    k0 = np.asarray(runner.client_states[0]["params"]["conv1"]["kernel"])
+    k1 = np.asarray(runner.client_states[1]["params"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k0, k1, rtol=1e-6)
+
+
+def test_federated_parallel_on_mesh(fed_dataset, monkeypatch):
+    """parallel clients sharded over a (client=1, data=2) mesh."""
+    import ccst_tpu.config as cc
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DATASETS["pacs"].__class__(
+            name="pacs", domains=cc.DATASETS["pacs"].domains, num_classes=2,
+            image_size=36, stylize_size=64,
+        )
+    )
+    cfg = small_fed_cfg(
+        fed_dataset, rounds=1, parallel_clients=True,
+        client_shards=3, data_shards=2, batch_size=4,
+    )
+    runner = FederatedRunner(cfg)
+    rec = runner.run_round(0)
+    assert np.isfinite(rec["val_acc_mean"])
+
+
 def test_federated_deepall(fed_dataset, monkeypatch):
     import ccst_tpu.config as cc
 
