@@ -249,6 +249,41 @@ def cmd_invert_eval(args) -> int:
     return 0
 
 
+def cmd_filter_blank(args) -> int:
+    from ccst_tpu.data.lists import filter_blank_images
+
+    written = filter_blank_images(
+        args.list_root, args.dataset, data_root=args.data_root,
+        brightness_lo=args.brightness_lo, brightness_hi=args.brightness_hi,
+        min_std=args.min_std,
+    )
+    for domain, path in written.items():
+        print(f"{domain}: {path}")
+    return 0
+
+
+def cmd_train_decoder(args) -> int:
+    from ccst_tpu.pipeline.train_decoder import DecoderTrainConfig, train_decoder
+
+    cfg = DecoderTrainConfig(
+        dataset=args.dataset,
+        content_domain=args.content_domain,
+        style_domain=args.style_domain,
+        list_root=args.list_root,
+        data_root=args.data_root,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        steps=args.steps,
+        lr=args.lr,
+        style_weight=args.style_weight,
+        seed=args.seed,
+        vgg_weights=args.vgg_weights,
+        out_path=args.out_path,
+    )
+    print(json.dumps(train_decoder(cfg)))
+    return 0
+
+
 def cmd_split_data(args) -> int:
     from ccst_tpu.data.lists import split_image_tree
 
@@ -360,6 +395,31 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--overall", action="store_true",
                    help="invert the domain-level Overall statistic")
     p.set_defaults(fn=cmd_invert_eval)
+
+    p = sub.add_parser("filter-blank", help="write _discardBlackWhite lists")
+    p.add_argument("--dataset", default="camelyon17")
+    p.add_argument("--list-root", default="")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--brightness-lo", type=float, default=0.05)
+    p.add_argument("--brightness-hi", type=float, default=0.95)
+    p.add_argument("--min-std", type=float, default=0.02)
+    p.set_defaults(fn=cmd_filter_blank)
+
+    p = sub.add_parser("train-decoder", help="train the AdaIN decoder")
+    p.add_argument("--dataset", default="pacs")
+    p.add_argument("--content-domain", default="")
+    p.add_argument("--style-domain", default="")
+    p.add_argument("--list-root", default="")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--style-weight", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--vgg-weights", default="")
+    p.add_argument("--out-path", default="decoder_trained.npz")
+    p.set_defaults(fn=cmd_train_decoder)
 
     p = sub.add_parser("split-data", help="split an image tree into train/test lists")
     p.add_argument("--dataset", default="officehome")

@@ -192,6 +192,58 @@ def generate_k_lists(
     return written
 
 
+def filter_blank_images(
+    list_root: str,
+    dataset: str,
+    data_root: str = "",
+    brightness_lo: float = 0.05,
+    brightness_hi: float = 0.95,
+    min_std: float = 0.02,
+    sample_size: int = 64,
+) -> Dict[str, str]:
+    """Write ``{dataset}_discardBlackWhite`` train lists excluding
+    near-blank images.
+
+    The reference's single-mode stylize samples camelyon17 style images from
+    pre-filtered ``camelyon17_discardBlackWhite`` lists to skip blank slide
+    patches (CCST_SingleStyleTransfer.py:165-166) but does not ship the
+    filter itself. This implements it: an image is kept iff its mean
+    luminance is inside (brightness_lo, brightness_hi) and its pixel std
+    exceeds ``min_std`` (computed on a cheap ``sample_size``-px thumbnail).
+
+    Returns {domain: filtered list path}.
+    """
+    from ccst_tpu.data.loader import load_image
+
+    spec = dataset_spec(dataset)
+    written: Dict[str, str] = {}
+    out_ds = f"{dataset.lower()}_discardBlackWhite"
+    for domain in spec.domains:
+        src_list = train_list_path(list_root, dataset, domain)
+        if not os.path.exists(src_list):
+            continue
+        names, labels = parse_list(src_list)
+        keep_n: List[str] = []
+        keep_l: List[int] = []
+        for name, label in zip(names, labels):
+            path = os.path.join(data_root, name) if data_root else name
+            try:
+                thumb = load_image(path, sample_size)
+            except Exception:
+                continue
+            mean = float(thumb.mean())
+            std = float(thumb.std())
+            if brightness_lo < mean < brightness_hi and std > min_std:
+                keep_n.append(name)
+                keep_l.append(label)
+        out_path = os.path.join(
+            list_root, "txt_lists", out_ds, f"{domain}_train.txt"
+        )
+        write_list(out_path, keep_n, keep_l)
+        written[domain] = out_path
+    return written
+
+
 def split_image_tree(
     data_root: str,
     dataset: str,

@@ -188,9 +188,18 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
     style_lists: Dict[str, List[str]] = {}
     if single:
         for style in styles:
-            s_names, _ = parse_list(
-                train_list_path(cfg.list_root, cfg.dataset, style)
+            # prefer blank-filtered lists when present (the reference samples
+            # camelyon17 styles from `_discardBlackWhite` lists,
+            # CCST_SingleStyleTransfer.py:165-166; `filter-blank` builds them)
+            filtered = train_list_path(
+                cfg.list_root, f"{cfg.dataset.lower()}_discardBlackWhite", style
             )
+            src = (
+                filtered
+                if os.path.exists(filtered)
+                else train_list_path(cfg.list_root, cfg.dataset, style)
+            )
+            s_names, _ = parse_list(src)
             style_lists[style] = (
                 [os.path.join(cfg.data_root, n) for n in s_names]
                 if cfg.data_root
