@@ -63,8 +63,11 @@ def main() -> None:
 
     run(2)  # compile + warm
     n1, n2 = 4, 20
-    t1, t2 = run(n1), run(n2)
-    img_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
+    rates = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(n2)
+        rates.append(batch * (n2 - n1) / max(t2 - t1, 1e-9))
+    img_per_sec = float(np.median(rates))
 
     print(
         json.dumps(

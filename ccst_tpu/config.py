@@ -8,8 +8,8 @@ typed config tree and one domain registry (`ccst_tpu.config.DATASETS`).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
 
 # ---------------------------------------------------------------------------
 # Dataset / domain registry

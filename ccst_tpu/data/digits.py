@@ -12,7 +12,7 @@ TPU-first: loaders return fixed-shape float32 NHWC batches like
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -13,7 +13,6 @@ equivalent (30 mutually distant permutations of 9), not bit-identical.
 """
 from __future__ import annotations
 
-import itertools
 from functools import lru_cache
 
 import jax

@@ -24,7 +24,7 @@ EMA), so the reference's copy-from-client-0 special case vanishes.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

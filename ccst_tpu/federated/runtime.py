@@ -34,7 +34,7 @@ from ccst_tpu.config import FedConfig
 from ccst_tpu.data.loader import Batch, ImageBatchLoader
 from ccst_tpu.federated.aggregate import aggregate, stack_clients, unstack_clients
 from ccst_tpu.federated.data import ClientData, build_client_data
-from ccst_tpu.federated.train_ops import StepMetrics, make_eval_step, make_train_step
+from ccst_tpu.federated.train_ops import make_eval_step, make_train_step
 from ccst_tpu.models.classifiers import get_network
 from ccst_tpu.utils.checkpoint import (
     checkpoint_paths,

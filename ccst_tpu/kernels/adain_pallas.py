@@ -19,8 +19,6 @@ variance to match ``calc_mean_std`` (function.py:9).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -8,8 +8,6 @@ reduction). Output merges into the host-side Welford state
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

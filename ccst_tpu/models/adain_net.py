@@ -9,7 +9,7 @@ here it is a first-class, jittable training step so the decoder can be
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

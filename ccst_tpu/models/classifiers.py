@@ -17,7 +17,7 @@ Known reference divergences (deliberate, see SURVEY.md §6b):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

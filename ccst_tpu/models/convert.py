@@ -11,7 +11,7 @@ Also supports a portable ``.npz`` native format for converted weights.
 from __future__ import annotations
 
 import os
-from typing import Dict, Mapping, Sequence
+from typing import Mapping, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,8 +1,6 @@
 """Shared nn layers for the classifier zoo (flax.linen, NHWC)."""
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

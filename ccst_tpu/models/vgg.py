@@ -25,7 +25,7 @@ Weights: the reference downloads ``vgg_normalised.pth`` / ``decoder.pth``.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ for the MXU) and on an N-device mesh via NamedSharding.
 """
 from __future__ import annotations
 
-import itertools
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -24,7 +23,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ccst_tpu.federated.aggregate import aggregate
-from ccst_tpu.federated.train_ops import StepMetrics
 
 Array = jax.Array
 State = Dict[str, Any]

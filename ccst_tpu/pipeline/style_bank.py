@@ -19,22 +19,17 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccst_tpu.config import StylizeConfig, dataset_spec
+from ccst_tpu.config import StylizeConfig
 from ccst_tpu.data.lists import parse_list, train_list_path
 from ccst_tpu.data.loader import ImageBatchLoader
 from ccst_tpu.models import vgg
-from ccst_tpu.ops.welford import (
-    WelfordState,
-    welford_finalize,
-    welford_init,
-    welford_update,
-)
+from ccst_tpu.ops.welford import WelfordState, welford_finalize, welford_init
 
 Array = jax.Array
 

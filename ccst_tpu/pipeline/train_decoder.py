@@ -9,11 +9,10 @@ taps), SGD-free: Adam with optional data-parallel mesh.
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ lightweight_gan.py:530).
 from __future__ import annotations
 
 import math
-from typing import Dict, Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

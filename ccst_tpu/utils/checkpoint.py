@@ -7,9 +7,8 @@ serialized pytrees (flax.serialization): one ``latest`` file per run plus a
 """
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

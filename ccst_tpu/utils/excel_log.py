@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 from ccst_tpu.utils.metrics import read_rounds
 

@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import copy
 from collections import deque
-from dataclasses import dataclass, field
-from typing import Any, Callable, Deque, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Deque, Optional
 
 import jax
 import jax.numpy as jnp
