@@ -54,6 +54,47 @@ def test_channel_moments_matches_numpy(rng):
     assert float(count) == 3 * 8 * 8
 
 
+def test_fused_reflect_conv_matches_xla(rng):
+    from ccst_tpu.kernels.conv_pallas import reflect_conv3x3_fused
+    from ccst_tpu.models.vgg import conv2d, reflect_pad
+
+    for (n, h, w, cin, cout, th) in [
+        (2, 16, 16, 8, 16, 4),    # multiple tiles, even
+        (1, 12, 20, 4, 8, 6),     # 2 tiles, non-square
+        (1, 8, 8, 8, 8, 4),       # exactly 2 tiles
+        (1, 24, 8, 4, 4, 8),      # 3 tiles (interior tile present)
+    ]:
+        x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+        wk = jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+        for relu in (True, False):
+            ref = conv2d(reflect_pad(x, 1), wk, b)
+            if relu:
+                ref = jax.nn.relu(ref)
+            out = reflect_conv3x3_fused(
+                x, wk, b, relu=relu, tile_rows=th, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5,
+                err_msg=f"shape {(n, h, w, cin, cout)} th={th} relu={relu}",
+            )
+
+
+def test_fused_reflect_conv_rejects_bad_tiling():
+    import pytest
+    from ccst_tpu.kernels.conv_pallas import reflect_conv3x3_fused
+
+    x = jnp.zeros((1, 10, 8, 4))
+    w = jnp.zeros((3, 3, 4, 4))
+    b = jnp.zeros((4,))
+    with pytest.raises(ValueError):
+        reflect_conv3x3_fused(x, w, b, tile_rows=3, interpret=True)  # 10 % 3
+    with pytest.raises(ValueError):
+        reflect_conv3x3_fused(x, w, b, tile_rows=10, interpret=True)  # h < th+2
+
+
 def test_channel_moments_feeds_welford(rng):
     from ccst_tpu.ops.welford import WelfordState, welford_finalize, welford_merge
 
