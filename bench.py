@@ -10,9 +10,12 @@ style_transfer/AdaIN/pacs_art_painting_overall_stylize_time.txt). We measure
 at 512px (the resolution the reference README actually uses), 4x the
 per-image work — vs_baseline therefore understates the true speedup.
 
-Measured step: the full Overall-transfer device computation
-(encode -> adain_from_stats -> alpha blend -> decode), bfloat16 with fp32
-statistics, weights resident in HBM.
+Measured step: the production Overall-transfer device computation — one
+encode of the content batch, then AdaIN + decode under each of the 3 other
+domains' style banks (the multi-style engine path; the reference re-encodes
+per style). bfloat16 with fp32 statistics, weights resident in HBM. The rate
+counts stylized output images per second, like the reference's timing
+artifacts.
 
 Methodology: the iteration loop runs ON DEVICE (lax.fori_loop chaining each
 step's output into the next input) inside a single dispatch, and the result
@@ -37,36 +40,43 @@ def main() -> None:
 
     batch = 32
     size = 512
+    n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
     dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
-    s_mean = jnp.asarray(rng.standard_normal(512, dtype=np.float32) * 0.1)
-    s_std = jnp.asarray(rng.random(512, dtype=np.float32) * 0.5 + 0.5)
+    s_means = jnp.asarray(rng.standard_normal((n_styles, 512)).astype(np.float32) * 0.1)
+    s_stds = jnp.asarray(rng.random((n_styles, 512)).astype(np.float32) * 0.5 + 0.5)
 
     @jax.jit
-    def chain(enc, dec, images, s_mean, s_std, iters):
+    def chain(enc, dec, images, s_means, s_stds, iters):
         def body(_, x):
             feat = vgg.apply_encoder(enc, x.astype(jnp.bfloat16))
-            t = adain_from_stats(feat, s_mean, s_std)
-            t = alpha_blend(t, feat, jnp.asarray(1.0, t.dtype))
-            return vgg.apply_decoder(dec, t).astype(x.dtype)
+
+            def one(stats):
+                s_mean, s_std = stats
+                t = adain_from_stats(feat, s_mean, s_std)
+                t = alpha_blend(t, feat, jnp.asarray(1.0, t.dtype))
+                return vgg.apply_decoder(dec, t)
+
+            outs = jax.lax.map(one, (s_means, s_stds))  # (S, B, H, W, 3)
+            return outs[0].astype(x.dtype)  # chain through style 0's output
 
         out = jax.lax.fori_loop(0, iters, body, images)
         return jnp.sum(out.astype(jnp.float32))
 
     def run(iters: int) -> float:
         t0 = time.perf_counter()
-        jax.device_get(chain(enc, dec, images, s_mean, s_std, jnp.asarray(iters)))
+        jax.device_get(chain(enc, dec, images, s_means, s_stds, jnp.asarray(iters)))
         return time.perf_counter() - t0
 
     run(2)  # compile + warm
-    n1, n2 = 4, 20
+    n1, n2 = 2, 10
     rates = []
     for _ in range(3):
         t1, t2 = run(n1), run(n2)
-        rates.append(batch * (n2 - n1) / max(t2 - t1, 1e-9))
+        rates.append(batch * n_styles * (n2 - n1) / max(t2 - t1, 1e-9))
     img_per_sec = float(np.median(rates))
 
     print(

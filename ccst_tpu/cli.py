@@ -106,7 +106,8 @@ def cmd_stylize(args) -> int:
     cfg = _dataclass_from_args(StylizeConfig, args)
     enc, dec = _load_engine_params(args)
     engine = StylizeEngine(
-        enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size
+        enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size,
+        output_u8=True,  # quantize on device: 4x less device->host traffic
     )
     run = run_single_transfer if cfg.mode.lower() == "single" else run_overall_transfer
     report = run(cfg, engine)

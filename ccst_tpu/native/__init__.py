@@ -60,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,
         ]
         lib.ccst_encode_png.restype = ctypes.c_int
+        lib.ccst_encode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ccst_encode_jpeg.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -121,3 +126,22 @@ def encode_png(path: str, rgb_u8: np.ndarray) -> None:
     )
     if rc:
         raise IOError(f"native png encode failed: {path}")
+
+
+def encode_jpeg(path: str, rgb_u8: np.ndarray, quality: int = 92) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    if rgb_u8.dtype != np.uint8 or rgb_u8.ndim != 3 or rgb_u8.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) uint8")
+    rgb_u8 = np.ascontiguousarray(rgb_u8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rc = lib.ccst_encode_jpeg(
+        path.encode(),
+        rgb_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        rgb_u8.shape[0],
+        rgb_u8.shape[1],
+        quality,
+    )
+    if rc:
+        raise IOError(f"native jpeg encode failed: {path}")

@@ -249,6 +249,39 @@ int ccst_decode_resize_batch(const char** paths, int n, int size, float* out,
   return failures.load();
 }
 
+// Write HWC uint8 RGB as JPEG (quality 0-100). Returns 0 on success.
+int ccst_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
+                     int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return 1;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(rgb + size_t(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 // Write HWC uint8 RGB as PNG. Returns 0 on success.
 int ccst_encode_png(const char* path, const uint8_t* rgb, int h, int w) {
   FILE* f = fopen(path, "wb");

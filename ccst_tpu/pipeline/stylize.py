@@ -93,6 +93,30 @@ class StylizeEngine:
             return out
 
         @jax.jit
+        def _stylize_multi(enc, dec, images, s_means, s_stds, alpha):
+            """Encode ONCE, restyle under S style banks in one program.
+
+            The reference's style-major loop re-runs the encoder per style
+            (CCST_OverallStyleTransfer.py:138-156) — ~1/3 excess FLOPs for 3
+            styles. Outputs are identical: AdaIN consumes the same content
+            features either way. s_means/s_stds: (S, C)."""
+            x = images.astype(self.dtype)
+            feat = vgg.apply_encoder(enc, x)
+
+            def one(s_mean, s_std):
+                t = adain_from_stats(feat, s_mean, s_std)
+                t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+                out = vgg.apply_decoder(dec, t).astype(jnp.float32)
+                if self.output_size > 0:
+                    out = resize_bilinear(out, self.output_size)
+                if self.output_u8:
+                    out = jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5
+                    out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+                return out
+
+            return jax.lax.map(one_tuple := lambda ms: one(*ms), (s_means, s_stds))
+
+        @jax.jit
         def _style_stats(enc, image):
             feat = vgg.apply_encoder(enc, image)
             # single style image: population (biased) stats like the
@@ -101,6 +125,7 @@ class StylizeEngine:
             return mean[0, 0, 0, :], std[0, 0, 0, :]
 
         self._stylize = _stylize
+        self._stylize_multi = _stylize_multi
         self._style_stats = _style_stats
 
     def stylize(self, images: Array, s_mean, s_std, alpha: float = 1.0) -> Array:
@@ -111,6 +136,18 @@ class StylizeEngine:
             images,
             jnp.asarray(s_mean, jnp.float32),
             jnp.asarray(s_std, jnp.float32),
+            alpha,
+        )
+
+    def stylize_multi(self, images: Array, s_means, s_stds, alpha: float = 1.0) -> Array:
+        """(B,H,W,3) content x (S,C) style banks -> (S,B,H,W,3): one encode,
+        S decodes, one dispatch."""
+        return self._stylize_multi(
+            self.enc,
+            self.dec,
+            images,
+            jnp.asarray(s_means, jnp.float32),
+            jnp.asarray(s_stds, jnp.float32),
             alpha,
         )
 
@@ -209,17 +246,59 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
     from ccst_tpu.data.loader import load_image
     from ccst_tpu.pipeline.style_bank import load_style_stats
 
+    def stats_of(style: str):
+        stats_path = os.path.join(
+            cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
+        )
+        if not os.path.exists(stats_path):
+            stats_path = stats_path[:-4] + ".npy"
+        return load_style_stats(stats_path)
+
     t0 = time.perf_counter()
     n_done = 0
+
+    if not single and not cfg.skip_existing:
+        # batch-major fast path: decode each content batch ONCE, encode it
+        # ONCE on device, restyle under ALL style banks in one dispatch
+        # (the reference's style-major loop re-decodes AND re-encodes per
+        # style — 3-4x the host IO and ~1/3 extra FLOPs)
+        bank = [stats_of(style) for style in styles]
+        s_means = np.stack([m for m, _ in bank])
+        s_stds = np.stack([s for _, s in bank])
+        with cf.ThreadPoolExecutor(8) as pool:
+            offset = 0
+            futs: List[cf.Future] = []
+            for batch in loader:
+                outs = engine.stylize_multi(
+                    jnp.asarray(batch.images), s_means, s_stds, cfg.alpha
+                )
+                rel = rel_names[offset : offset + batch.valid]
+                outs_np = np.asarray(outs[:, : batch.valid])
+                for si, style in enumerate(styles):
+                    futs.extend(
+                        _writeback(
+                            pool, outs_np[si], batch.paths, rel, cfg, style, mode
+                        )
+                    )
+                    n_done += batch.valid
+                offset += batch.valid
+            for f in futs:
+                f.result()
+        elapsed = time.perf_counter() - t0
+        report = TransferReport(
+            target=cfg.target,
+            styles=styles,
+            images=n_done // max(len(styles), 1),
+            seconds=elapsed,
+            images_per_sec=n_done / max(elapsed, 1e-9),
+        )
+        _write_timing(cfg, mode, report)
+        return report
+
     with cf.ThreadPoolExecutor(8) as pool:
         for style in styles:
             if not single:
-                stats_path = os.path.join(
-                    cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
-                )
-                if not os.path.exists(stats_path):
-                    stats_path = stats_path[:-4] + ".npy"
-                s_mean, s_std = load_style_stats(stats_path)
+                s_mean, s_std = stats_of(style)
             style_loader, style_rels = loader, rel_names
             if cfg.skip_existing:
                 missing = [
