@@ -152,6 +152,7 @@ class FedConfig:
     list_root: str = ""
     save_path: str = "checkpoints"
     log_path: str = "logs"
+    trace_dir: str = ""               # jax.profiler trace output (off if "")
     save_freq: int = 10
     resume: bool = False
     test_only: bool = False

@@ -336,10 +336,13 @@ class FederatedRunner:
         return record
 
     def run(self) -> Dict[str, Any]:
+        from ccst_tpu.utils.profiling import maybe_trace
+
         if self.cfg.resume:
             self.resume()
-        for r in range(self.start_round, self.cfg.rounds):
-            self.run_round(r)
+        with maybe_trace(self.cfg.trace_dir or None):
+            for r in range(self.start_round, self.cfg.rounds):
+                self.run_round(r)
         self.logger.log("done", **self.best)
         return dict(self.best)
 

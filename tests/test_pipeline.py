@@ -189,6 +189,21 @@ def test_output_resize(synth_dataset):
     assert img.shape == (16, 16, 3)
 
 
+def test_stylize_multi_equals_per_style(rng):
+    """The single-encode multi-style path must produce the same images as
+    per-style stylize calls (it reuses the identical content features)."""
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    engine = StylizeEngine(enc, dec, dtype=jnp.float32)
+    images = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    s_means = rng.standard_normal((3, 512)).astype(np.float32) * 0.05
+    s_stds = (rng.random((3, 512)).astype(np.float32) * 0.1 + 0.02)
+    multi = np.asarray(engine.stylize_multi(images, s_means, s_stds, 0.9))
+    for si in range(3):
+        single = np.asarray(engine.stylize(images, s_means[si], s_stds[si], 0.9))
+        np.testing.assert_allclose(multi[si], single, rtol=1e-5, atol=1e-6)
+
+
 def test_full_path_parity_vs_torch(rng):
     """BASELINE.md: < 1e-3 mean-abs pixel error vs the torch reference path
     (encoder -> adaIN_StyleStat_ContentFeat -> alpha blend -> decoder)."""
