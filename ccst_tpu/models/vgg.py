@@ -189,6 +189,66 @@ def upsample_nearest2x(x: Array) -> Array:
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def upsample_reflect_conv3x3(x: Array, w: Array, b: Array) -> Array:
+    """Fused ``conv3x3(reflect_pad(nearest_upsample_2x(x)))`` via polyphase
+    decomposition — exact algebra, no upsampled tensor.
+
+    With nearest-2x, every 3x3 window over the upsampled plane touches only
+    a 2x2 neighborhood of ``x``, with kernel taps grouped by output parity:
+    row taps for even outputs are [w0, w1+w2] over x rows [i-1, i] and for
+    odd outputs [w0+w1, w2] over rows [i, i+1] (columns likewise). Reflect
+    padding on the upsampled plane reduces to EDGE padding on ``x`` (the
+    reflected halo row equals upsampled row 1 = x row 0). So: one edge-pad
+    of the small tensor, four 2x2 convs (4/9 of the FLOPs of the 3x3 on the
+    upsampled plane), and a parity interleave. Replaces the decoder's three
+    upsample+conv pairs (net.py:10-12, 23-25, 30-32) bit-for-fp-tolerance
+    identically; covered by parity tests.
+
+    MEASURED NEGATIVE RESULT on v5e (kept for documentation, NOT wired into
+    the production path): despite 4/9 the MACs, the full-pipeline rate DROPS
+    from 447 to 280 img/s — the four 2x2 convs re-read the input 4x with a
+    weaker contraction dim (4*Cin vs 9*Cin), and the parity-interleave
+    transpose relayouts the full-size output. XLA's upsample+conv graph wins.
+    """
+    n, h, w_dim, cin = x.shape
+    cout = w.shape[-1]
+    wf = w.astype(jnp.float32)
+    # tap regroupings: G0 = rows {0} then {1,2}; G1 = rows {0,1} then {2}
+    row_g = {
+        0: (wf[0:1], wf[1:2] + wf[2:3]),          # each (1, 3, Cin, Cout)
+        1: (wf[0:1] + wf[1:2], wf[2:3]),
+    }
+
+    def col_group(k3: Array, parity: int) -> Array:
+        # k3: (2, 3, Cin, Cout) -> (2, 2, Cin, Cout)
+        if parity == 0:
+            return jnp.stack([k3[:, 0], k3[:, 1] + k3[:, 2]], axis=1)
+        return jnp.stack([k3[:, 0] + k3[:, 1], k3[:, 2]], axis=1)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    phases = []
+    for a in (0, 1):
+        k_rows = jnp.concatenate(row_g[a], axis=0)     # (2, 3, Cin, Cout)
+        for bp in (0, 1):
+            k = col_group(k_rows, bp).astype(x.dtype)  # (2, 2, Cin, Cout)
+            # output (i, j) phase (a, bp) consumes x rows [i-1+a, i+a] and
+            # cols [j-1+bp, j+bp]; with the 1-px edge pad that is a VALID
+            # 2x2 conv over xp offset by (a, bp)
+            src = xp[:, a : a + h + 1, bp : bp + w_dim + 1, :]
+            y = jax.lax.conv_general_dilated(
+                src, k, (1, 1), "VALID", dimension_numbers=_DN,
+                preferred_element_type=jnp.float32,
+            )
+            phases.append(y)
+    # interleave phases: phases[a*2+b][i, j] -> out[2i+a, 2j+b]
+    stacked = jnp.stack(phases, axis=0).reshape(2, 2, n, h, w_dim, cout)
+    out = jnp.transpose(stacked, (2, 3, 0, 4, 1, 5)).reshape(
+        n, 2 * h, 2 * w_dim, cout
+    )
+    out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Init / apply
 # ---------------------------------------------------------------------------

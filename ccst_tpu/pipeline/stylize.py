@@ -114,7 +114,7 @@ class StylizeEngine:
                     out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
                 return out
 
-            return jax.lax.map(one_tuple := lambda ms: one(*ms), (s_means, s_stds))
+            return jax.lax.map(lambda ms: one(*ms), (s_means, s_stds))
 
         @jax.jit
         def _style_stats(enc, image):

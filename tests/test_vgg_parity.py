@@ -87,3 +87,21 @@ def test_random_init_runs():
     img = jvgg.apply_decoder(dec, feat)
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_polyphase_upsample_conv_parity(rng):
+    """upsample_reflect_conv3x3 (documented negative perf result) must still
+    equal conv3x3(reflect_pad(nearest2x(x))) exactly."""
+    from ccst_tpu.models.vgg import (
+        conv2d,
+        reflect_pad,
+        upsample_nearest2x,
+        upsample_reflect_conv3x3,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    ref = conv2d(reflect_pad(upsample_nearest2x(x), 1), w, b)
+    out = upsample_reflect_conv3x3(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
