@@ -1,0 +1,63 @@
+"""Golden-value regression anchors.
+
+These pin the exact fp32 numerics of the stylize path under fixed seeds so
+future optimization rounds (kernel swaps, fusion rewrites) can prove they
+did not drift. The goldens are generated once and committed
+(tests/goldens/*.npz); regenerate ONLY when an intentional numeric change is
+made, with the reason recorded here.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _stylize_fixture():
+    from ccst_tpu.models import vgg
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    enc = vgg.init_params(jax.random.PRNGKey(42), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(43), vgg.DECODER_ARCH)
+    engine = StylizeEngine(enc, dec, dtype=jnp.float32)
+    rng = np.random.default_rng(1234)
+    images = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    s_mean = rng.standard_normal(512).astype(np.float32) * 0.05
+    s_std = (rng.random(512).astype(np.float32) * 0.1 + 0.02).astype(np.float32)
+    return engine, images, s_mean, s_std
+
+
+def test_stylize_golden():
+    engine, images, s_mean, s_std = _stylize_fixture()
+    out = np.asarray(engine.stylize(images, s_mean, s_std, 0.8))
+    path = os.path.join(GOLDEN_DIR, "stylize_32px.npz")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, out=out)
+        pytest.skip("golden generated; rerun to compare")
+    golden = np.load(path)["out"]
+    # CPU vs CPU must be near-exact; tolerate platform ulp differences
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_style_bank_golden(rng):
+    from ccst_tpu.models import vgg
+    from ccst_tpu.pipeline.style_bank import make_bank_step
+    from ccst_tpu.ops.welford import welford_finalize, welford_init
+
+    enc = vgg.init_params(jax.random.PRNGKey(42), vgg.ENCODER_ARCH)
+    data = np.random.default_rng(99).random((4, 32, 32, 3)).astype(np.float32)
+    step = make_bank_step(enc, dtype=jnp.float32)
+    state = step(welford_init(512), jnp.asarray(data), jnp.asarray(4))
+    mean, std = welford_finalize(state)
+    out = np.stack([np.asarray(mean), np.asarray(std)])
+    path = os.path.join(GOLDEN_DIR, "style_bank_32px.npz")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, out=out)
+        pytest.skip("golden generated; rerun to compare")
+    golden = np.load(path)["out"]
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-6)
