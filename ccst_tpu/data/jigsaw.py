@@ -5,14 +5,16 @@ images are cut into a 3x3 grid, tiles are shuffled by one of 30 fixed
 permutations (class 0 = unshuffled; ``bias_whole_image`` keeps most samples
 whole), and the model predicts the permutation index alongside the class.
 
-TPU-first: tiling/permutation run batched on device under jit; the
-permutation set is generated deterministically with the standard
-maximal-Hamming greedy construction (Noroozi & Favaro) instead of shipping
-the reference's opaque ``permutations_30.npy`` binary — functionally
-equivalent (30 mutually distant permutations of 9), not bit-identical.
+TPU-first: tiling/permutation run batched on device under jit. The
+permutation table is the reference's own ``permutations_30.npy`` (vendored
+under ``assets/``; loaded exactly like ``retrieve_permutations``,
+data/ImageLoader.py:102-106, including the min==1 rebase) so jigsaw classes
+are bit-compatible; a deterministic maximal-Hamming greedy construction
+(Noroozi & Favaro) generates the table for permutation counts with no asset.
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -24,16 +26,26 @@ Array = jax.Array
 GRID = 3
 N_TILES = GRID * GRID
 
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
 
 @lru_cache(maxsize=None)
 def permutation_set(n_perms: int = 30, seed: int = 0) -> np.ndarray:
-    """(n_perms, 9) int array of mutually max-Hamming-distant permutations.
+    """(n_perms, 9) int permutation table.
 
-    Greedy farthest-point selection over all 9! permutations is too slow;
-    we use the standard approximation: sample a large pool, greedily pick
-    the permutation maximizing the minimum Hamming distance to those chosen.
-    Deterministic under ``seed``.
+    For counts with a vendored asset (``assets/permutations_{n}.npy``), the
+    reference's exact table is returned — 0-based like
+    ``retrieve_permutations`` (data/ImageLoader.py:102-106). Otherwise a
+    deterministic greedy max-min-Hamming set is generated: sample a large
+    pool, greedily pick the permutation maximizing the minimum Hamming
+    distance to those chosen. Deterministic under ``seed``.
     """
+    asset = os.path.join(_ASSET_DIR, f"permutations_{n_perms}.npy")
+    if seed == 0 and os.path.exists(asset):
+        table = np.load(asset)
+        if table.min() == 1:
+            table = table - 1
+        return table.astype(np.int64)
     rng = np.random.default_rng(seed)
     pool = np.array([rng.permutation(N_TILES) for _ in range(5000)])
     pool = np.unique(pool, axis=0)

@@ -78,6 +78,23 @@ def test_list_path(list_root: str, dataset: str, domain: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _replace_path_segment(path: str, old: str, new: str) -> str:
+    """Replace the first whole path *segment* equal to ``old`` with ``new``.
+
+    The reference rewrites paths with blind ``str.replace`` (e.g.
+    CCST_OverallStyleTransfer.py:161-163), which corrupts output paths when a
+    data root happens to contain the domain name as a substring (e.g.
+    ``/data/photo_sets/...`` with target ``photo``). Matching only complete
+    segments removes that failure mode while keeping the same contract.
+    """
+    parts = path.split(os.sep)
+    for i, part in enumerate(parts):
+        if part == old:
+            parts[i] = new
+            return os.sep.join(parts)
+    raise ValueError(f"no {old!r} path segment to rewrite in {path!r}")
+
+
 def stylized_output_path(
     content_path: str, target: str, style: str, mode: str,
     source_marker: str = "kfold",
@@ -87,11 +104,12 @@ def stylized_output_path(
     Mirrors CCST_OverallStyleTransfer.py:160-163 / CCST_SingleStyleTransfer.py:
     ``kfold`` -> ``all_style_transferred_{Overall|Single}``, the target-domain
     path segment gains a ``/{style}`` subdir, and the filename gains a
-    ``_{style}`` suffix before the extension.
+    ``_{style}`` suffix before the extension. Both rewrites match whole path
+    segments only (see ``_replace_path_segment``).
     """
     tree = f"all_style_transferred_{mode.capitalize()}"
-    out = content_path.replace(source_marker, tree, 1)
-    out = out.replace(f"{target}", f"{target}/{style}", 1)
+    out = _replace_path_segment(content_path, source_marker, tree)
+    out = _replace_path_segment(out, target, f"{target}{os.sep}{style}")
     root, ext = os.path.splitext(out)
     return f"{root}_{style}{ext}"
 
@@ -104,7 +122,9 @@ def unified_original_path(
     ``{source_marker}_{family}-{mode}-multi/{target}/...``
     (data/data_list_generator.py:60)."""
     tree = f"{source_marker}_{style_family}-{mode.lower()}-multi"
-    return content_path.replace(source_marker, f"{tree}/{target}", 1)
+    return _replace_path_segment(
+        content_path, source_marker, f"{tree}{os.sep}{target}"
+    )
 
 
 def unified_tree_path(

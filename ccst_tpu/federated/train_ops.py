@@ -37,6 +37,7 @@ class StepMetrics(NamedTuple):
     correct: Array    # class-head correct count
     count: Array      # samples seen
     jig_correct: Array
+    active: Array     # 1.0 if the step had any valid samples (0 = padded no-op)
 
 
 def cross_entropy(logits: Array, labels: Array) -> Array:
@@ -222,10 +223,20 @@ def make_train_step(
         (loss, (new_stats, correct, jig_corr)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state["params"], state, server_params, batch, rng, step_idx)
-        # padded batches (mask all-zero) must be a no-op
+        # padded batches (mask all-zero) must be a full no-op: no param
+        # update AND no batch_stats update (the forward pass ran on a
+        # duplicated padding batch, so its stats must be discarded too)
         any_valid = (jnp.sum(batch["mask"]) > 0).astype(jnp.float32)
         new_params = jax.tree.map(
             lambda p, g: p - lr * any_valid * g.astype(p.dtype), state["params"], grads
+        )
+        new_stats = jax.tree.map(
+            lambda old, new: (
+                any_valid * new.astype(jnp.float32)
+                + (1.0 - any_valid) * old.astype(jnp.float32)
+            ).astype(old.dtype),
+            state.get("batch_stats", {}),
+            new_stats,
         )
         new_state = {"params": new_params, "batch_stats": new_stats}
         metrics = StepMetrics(
@@ -233,6 +244,7 @@ def make_train_step(
             correct=correct,
             count=jnp.sum(batch["mask"].astype(jnp.float32)),
             jig_correct=jig_corr,
+            active=any_valid,
         )
         return new_state, metrics
 

@@ -64,6 +64,15 @@ class ParallelFedTrainer:
         self.weights = jnp.asarray(weights)
         self.mesh = mesh
         n = self.weights.shape[0]
+        if mesh is not None:
+            client_shards = mesh.shape.get("client", 1)
+            if n % client_shards:
+                raise ValueError(
+                    f"n_clients={n} is not divisible by the mesh's client "
+                    f"axis ({client_shards}); PACS/OfficeHome have 3 source "
+                    f"clients — use client_shards in {{1, 3}} (e.g. "
+                    f"make_fed_mesh(1, n_devices) for pure data parallelism)"
+                )
 
         vstep = jax.vmap(train_step, in_axes=(0, None, 0, 0, None))
 
@@ -110,7 +119,7 @@ class ParallelFedTrainer:
         loss = np.zeros(n)
         correct = np.zeros(n)
         count = np.zeros(n)
-        steps = 0
+        active = np.zeros(n)
         for step_idx, batch in enumerate(stacked_batches):
             rng, sub = jax.random.split(rng)
             rngs = jax.random.split(sub, n)
@@ -121,9 +130,12 @@ class ParallelFedTrainer:
             loss += np.asarray(m.loss)
             correct += np.asarray(m.correct)
             count += np.asarray(m.count)
-            steps += 1
+            active += np.asarray(m.active)
+        # per-client loss averages over that client's REAL steps only —
+        # masked padding steps (mask all-zero, loss forced to 0) don't
+        # deflate short-epoch clients' reported loss
         metrics = {
-            "train_loss": loss / max(steps, 1),
+            "train_loss": loss / np.maximum(active, 1.0),
             "train_acc": correct / np.maximum(count, 1.0),
         }
         return stacked_states, metrics

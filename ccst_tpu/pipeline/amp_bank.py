@@ -14,12 +14,12 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ccst_tpu.data.lists import parse_list, train_list_path
+from ccst_tpu.data.lists import _replace_path_segment, parse_list, train_list_path
 from ccst_tpu.data.loader import load_image
 
 
 def amp_path(image_path: str, source_marker: str = "kfold") -> str:
-    base = image_path.replace(source_marker, f"{source_marker}_amp", 1)
+    base = _replace_path_segment(image_path, source_marker, f"{source_marker}_amp")
     return os.path.splitext(base)[0] + ".npy"
 
 

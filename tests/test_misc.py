@@ -118,3 +118,35 @@ def test_inverter_dp_mesh(tmp_path, rng):
     )
     best = train_inverter(cfg, mesh=mesh)
     assert np.isfinite(best["final_loss"])
+
+
+def test_jigsaw_table_matches_reference_asset():
+    """permutation_set(30) must be the reference's permutations_30.npy
+    (data/ImageLoader.py:102-106), 0-based."""
+    import numpy as np
+    from ccst_tpu.data.jigsaw import permutation_set
+
+    table = permutation_set(30)
+    assert table.shape == (30, 9) and table.min() == 0 and table.max() == 8
+    # spot anchor: first three rows of the published table
+    np.testing.assert_array_equal(
+        table[:3],
+        [[7, 2, 0, 1, 5, 6, 3, 4, 8],
+         [0, 1, 2, 3, 4, 5, 6, 8, 7],
+         [1, 0, 3, 2, 6, 4, 8, 7, 5]],
+    )
+    # each row is a permutation of 0..8
+    for row in table:
+        assert sorted(row.tolist()) == list(range(9))
+
+
+def test_segment_path_rewrite_ignores_substring_collisions():
+    """A data root containing the domain name as a substring must not be
+    rewritten (round-1 blind str.replace bug)."""
+    from ccst_tpu.data.lists import stylized_output_path
+
+    p = "/data/photo_sets/pacs/kfold/photo/dog/pic_001.jpg"
+    out = stylized_output_path(p, target="photo", style="art_painting",
+                               mode="overall")
+    assert out == ("/data/photo_sets/pacs/all_style_transferred_Overall/"
+                   "photo/art_painting/dog/pic_001_art_painting.jpg")

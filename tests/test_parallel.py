@@ -107,6 +107,64 @@ def test_parallel_matches_sequential(rng):
         )
 
 
+def test_three_clients_on_eight_devices(rng):
+    """The real PACS shape: 3 source clients on an 8-device mesh (client
+    axis 1, data axis 8) — and a clear error when the client axis cannot
+    tile the stacked client dimension."""
+    model = get_network("resnet4", classes=4)
+    step = make_train_step(model, n_classes=4, image_size=36, lr=0.05)
+    w = jnp.full((3,), 1.0 / 3)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ParallelFedTrainer(step, "fedavg", w, mesh=make_fed_mesh(2, 4))
+
+    trainer = ParallelFedTrainer(step, "fedavg", w, mesh=make_fed_mesh(1, 8))
+    states = trainer.shard_states(make_client_states(model, 3))
+    server_params = jax.tree.map(lambda x: x[0], states["params"])
+    client_batches = [batches_for(rng, 2, b=8), batches_for(rng, 2, b=8),
+                      batches_for(rng, 1, b=8)]
+    stacked = stack_step_batches(client_batches, lambda b: b)
+    new_states, metrics = trainer.run_epoch(
+        states, server_params, stacked, jax.random.PRNGKey(0)
+    )
+    assert metrics["train_loss"].shape == (3,)
+    assert np.all(np.isfinite(metrics["train_loss"]))
+    sp, ss, ncp, ncs = trainer.communicate(
+        new_states["params"], new_states["batch_stats"]
+    )
+    assert np.all(np.isfinite(np.asarray(sp["conv1"]["kernel"])))
+
+
+def test_masked_steps_are_full_noops_and_excluded_from_loss(rng):
+    """A padded (mask all-zero) step must leave params AND batch_stats
+    untouched, and must not deflate the reported per-client loss."""
+    model = get_network("resnet18", classes=4)  # has batch_stats
+    step = jax.jit(make_train_step(model, n_classes=4, image_size=36, lr=0.05))
+    x = jnp.ones((1, 36, 36, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+    batch = batches_for(rng, 1)[0]
+    masked = {**batch, "mask": jnp.zeros_like(batch["mask"])}
+    new_state, m = step(
+        state, state["params"], masked, jax.random.PRNGKey(1), jnp.asarray(0)
+    )
+    assert float(m.active) == 0.0 and float(m.loss) == 0.0
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(new_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # short-epoch client: 1 real batch + padding; loss must equal the
+    # 1-batch loss, not half of it
+    trainer = ParallelFedTrainer(step, "fedavg", jnp.asarray([0.5, 0.5]))
+    states = make_client_states(model, 2)
+    server_params = jax.tree.map(lambda z: z[0], states["params"])
+    client_batches = [batches_for(rng, 2), batches_for(rng, 1)]
+    stacked = stack_step_batches(client_batches, lambda b: b)
+    _, metrics = trainer.run_epoch(
+        states, server_params, stacked, jax.random.PRNGKey(0)
+    )
+    assert metrics["train_loss"][1] > 0.5  # ~log(4) for 4 classes, not ~half
+
+
 def test_spatial_sharded_stylize_matches_single_device(rng):
     """H-sharded stylization must be numerically identical to unsharded
     (XLA inserts the halo exchanges)."""
