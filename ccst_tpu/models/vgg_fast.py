@@ -1,0 +1,328 @@
+"""High-throughput execution engines for the AdaIN VGG encoder/decoder.
+
+``ccst_tpu.models.vgg`` is the *reference* executor: one op per layer,
+explicit reflect pads, <1e-3-MAE parity with the torch stack
+(style_transfer/AdaIN/net.py:6-92). This module re-maps the same weights
+onto faster TPU programs; it changes HOW the arithmetic runs, never WHAT it
+computes (the bf16 packed engine is exact to fp tolerance; the int8 engine
+is a quantized approximation with measured quality).
+
+Two measured v5e facts drive the design (benchmarks/micro_conv.py):
+
+1. **64-channel convs waste the MXU.** The two 512px 64->64 convs
+   (conv1_2 / dconv1_2) reach only ~40 TF bf16 while 256-channel layers
+   reach 165+ TF — 64 channels fill half the 128-wide lane tile, and the
+   reflect-pad copy adds another ~28% on top (5.30 vs 3.80 ms at batch 8).
+   Fix: compute the whole 512px stage in **packed (space-to-depth) form** —
+   (H, W, C) -> (H/2, W/2, 4C) with phase-major channels — where the 3x3
+   reflect-conv becomes a dense 3x3 conv over 4x wider channels. 4x the
+   MACs, but at full-width MXU efficiency, and reflect padding of the
+   original plane reduces *exactly* to EDGE padding of the packed plane
+   (the kernel's zero structure never reads the out-of-range phase rows).
+   Pool and nearest-upsample are free in packed space (phase-max /
+   channel-tile).
+
+2. **int8 convs run ~3x faster than bf16** at the 128-512 channel layers
+   (0.30 vs 0.94 ms at 128px/256ch) — the MXU int8 path is real for convs.
+   The int8 engine quantizes weights per-output-channel (symmetric int8)
+   and activations per-tensor dynamically, pads the *quantized* tensors
+   (reflect semantics preserved), accumulates int32, and dequantizes into
+   the bias+ReLU epilogue.
+
+Parity: packed-bf16 is covered by exact-equality tests vs ``vgg.apply_*``;
+int8 by PSNR bounds (tests/test_vgg_fast.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccst_tpu.models import vgg
+
+Array = jax.Array
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# layers computed in packed space (the 512px level-1 stage at image res)
+_PACKED_ENC = ("conv1_1", "conv1_2")
+_PACKED_DEC = ("dconv1_2", "dconv1_1")
+
+
+# ---------------------------------------------------------------------------
+# packed (space-to-depth) primitives
+# ---------------------------------------------------------------------------
+
+
+def pack_s2d(x: Array) -> Array:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), phase-major channels
+    (packed channel index = (row_phase*2 + col_phase) * C + c)."""
+    n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"packed engine needs even H, W; got {h}x{w}")
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def unpack_d2s(xp: Array, c: int) -> Array:
+    """Inverse of :func:`pack_s2d`."""
+    n, hb, wb, _ = xp.shape
+    x = xp.reshape(n, hb, wb, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hb * 2, wb * 2, c)
+
+
+def make_packed_kernel(w: Array) -> np.ndarray:
+    """(3, 3, Cin, Cout) conv kernel -> its packed-space equivalent
+    (3, 3, 4Cin, 4Cout).
+
+    Output phase (a, b) at packed position (i, j) is original position
+    (2i+a, 2j+b); its 3x3 window touches original rows 2i+a-1 .. 2i+a+1,
+    i.e. packed block rows (a-1)//2 .. (a+1)//2 relative to i. Each original
+    tap (dy, dx) therefore lands at packed tap (R+1, C+1) on input phase
+    (ar, ac) where a+dy-1 = 2R+ar (likewise columns). Taps outside a phase's
+    2x2 effective window stay zero — which is what makes EDGE padding of the
+    packed tensor equal to REFLECT padding of the original plane: the edge
+    block's wrong-phase rows are only ever multiplied by those zeros, while
+    its in-range phase rows hold exactly the reflected original rows.
+    """
+    wn = np.asarray(w, np.float32)
+    cin, cout = wn.shape[2], wn.shape[3]
+    K = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            for dy in range(3):
+                for dx in range(3):
+                    r, c = a + dy - 1, b + dx - 1
+                    R, ar = r // 2, r % 2
+                    C, ac = c // 2, c % 2
+                    K[
+                        R + 1,
+                        C + 1,
+                        (ar * 2 + ac) * cin : (ar * 2 + ac + 1) * cin,
+                        (a * 2 + b) * cout : (a * 2 + b + 1) * cout,
+                    ] = wn[dy, dx]
+    return K
+
+
+def packed_reflect_conv(
+    xp: Array, K: Array, b: Array, relu: bool = True
+) -> Array:
+    """Packed-space equivalent of reflect-pad + 3x3 conv + bias (+ReLU)."""
+    xpe = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    acc = jax.lax.conv_general_dilated(
+        xpe, K.astype(xp.dtype), (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + jnp.tile(b.astype(jnp.float32), 4)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    return acc.astype(xp.dtype)
+
+
+def phase_max(xp: Array, c: int) -> Array:
+    """2x2/2 max pool of the original plane == max over the 4 phases."""
+    n, hb, wb, _ = xp.shape
+    return jnp.max(xp.reshape(n, hb, wb, 4, c), axis=3)
+
+
+def tile_as_upsample(x: Array) -> Array:
+    """Packed representation of nearest-2x upsample: all 4 phases equal."""
+    return jnp.tile(x, (1, 1, 1, 4))
+
+
+# ---------------------------------------------------------------------------
+# bf16 packed engine (exact)
+# ---------------------------------------------------------------------------
+
+
+def _prepare_packed(params: vgg.Params, names: Sequence[str]) -> Dict[str, Dict[str, Array]]:
+    out = {}
+    for name, p in params.items():
+        if name in names:
+            out[name] = {"K": jnp.asarray(make_packed_kernel(p["w"])), "b": p["b"]}
+        else:
+            out[name] = p
+    return out
+
+
+def prepare_encoder(params: vgg.Params) -> Dict:
+    return _prepare_packed(params, _PACKED_ENC)
+
+
+def prepare_decoder(params: vgg.Params) -> Dict:
+    return _prepare_packed(params, _PACKED_DEC)
+
+
+def apply_encoder_packed(prep: Dict, images: Array, dtype=jnp.bfloat16) -> Array:
+    """Images (N, H, W, 3) in [0,1] -> relu4_1 features. Exact equivalent of
+    ``vgg.apply_encoder`` with the level-1 stage computed in packed space."""
+    x = images.astype(dtype)
+    p0 = prep["conv0"]
+    x = vgg.conv2d(x, p0["w"], p0["b"])  # 1x1 RGB rescale, no relu
+    xp = pack_s2d(x)  # (N, H/2, W/2, 12)
+    xp = packed_reflect_conv(xp, prep["conv1_1"]["K"], prep["conv1_1"]["b"])
+    xp = packed_reflect_conv(xp, prep["conv1_2"]["K"], prep["conv1_2"]["b"])
+    x = phase_max(xp, 64)  # pool1 -> (N, H/2, W/2, 64)
+    # remaining layers follow the reference executor exactly
+    pools_seen = 0
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv) and layer.name not in (
+            "conv0", *_PACKED_ENC
+        ):
+            p = prep[layer.name]
+            x = vgg.conv2d(vgg.reflect_pad(x, 1), p["w"], p["b"])
+            if layer.relu:
+                x = jax.nn.relu(x)
+            if layer.name == "conv4_1":
+                return x
+        elif isinstance(layer, vgg.Pool):
+            # pool 1 was already applied in packed space (phase_max)
+            pools_seen += 1
+            if pools_seen > 1:
+                x = vgg.maxpool_ceil(x)
+    return x
+
+
+def _dec_mid_layers():
+    """Decoder layers up to (not incl.) the packed level-1 stage."""
+    out = []
+    for layer in vgg.DECODER_ARCH:
+        if isinstance(layer, vgg.Conv) and layer.name in _PACKED_DEC:
+            break
+        out.append(layer)
+    # drop the trailing Upsample before dconv1_2 (folded into packed tile)
+    assert isinstance(out[-1], vgg.Upsample)
+    return tuple(out[:-1])
+
+
+_DEC_MID = None  # materialized lazily (vgg.DECODER_ARCH is import-order safe)
+
+
+def apply_decoder_packed(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
+    """relu4_1 features -> image; exact equivalent of ``vgg.apply_decoder``
+    with the final upsample + dconv1_2 + dconv1_1 computed in packed space."""
+    global _DEC_MID
+    if _DEC_MID is None:
+        _DEC_MID = _dec_mid_layers()
+    x = feat.astype(dtype)
+    for layer in _DEC_MID:
+        if isinstance(layer, vgg.Conv):
+            p = prep[layer.name]
+            x = vgg.conv2d(vgg.reflect_pad(x, 1), p["w"], p["b"])
+            if layer.relu:
+                x = jax.nn.relu(x)
+        elif isinstance(layer, vgg.Upsample):
+            x = vgg.upsample_nearest2x(x)
+    xp = tile_as_upsample(x)  # packed upsample to 2x
+    xp = packed_reflect_conv(xp, prep["dconv1_2"]["K"], prep["dconv1_2"]["b"])
+    xp = packed_reflect_conv(
+        xp, prep["dconv1_1"]["K"], prep["dconv1_1"]["b"], relu=False
+    )
+    return unpack_d2s(xp, 3)
+
+
+# ---------------------------------------------------------------------------
+# int8 engine (quantized)
+# ---------------------------------------------------------------------------
+
+
+class QConv(NamedTuple):
+    wq: Array          # int8 kernel (HWIO; packed layers use the packed kernel)
+    w_scale: Array     # fp32 dequant scale — (Cout,) or (4*Cout,) when packed
+    b: Array           # (Cout,) fp32 bias
+    packed: bool
+
+
+def _quantize_kernel(w: np.ndarray) -> Tuple[Array, Array]:
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0 + 1e-30
+    wq = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(wq), jnp.asarray(scale, jnp.float32)
+
+
+def _quantize_act(x: Array) -> Tuple[Array, Array]:
+    s = jnp.max(jnp.abs(x).astype(jnp.float32)) / 127.0 + 1e-30
+    xq = jnp.clip(jnp.rint(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _qconv_apply(
+    x: Array, q: QConv, relu: bool, out_dtype, pad_mode: str
+) -> Array:
+    xq, a_scale = _quantize_act(x)
+    xq = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+    acc = jax.lax.conv_general_dilated(
+        xq, q.wq, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    scale = q.w_scale * a_scale
+    bias = q.b.astype(jnp.float32)
+    if q.packed:  # packed kernels carry per-packed-channel scales already
+        bias = jnp.tile(bias, 4)
+    y = acc.astype(jnp.float32) * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(out_dtype)
+
+
+def _prepare_q8(params: vgg.Params, packed_names: Sequence[str]) -> Dict[str, Any]:
+    prep: Dict[str, Any] = {}
+    for name, p in params.items():
+        if name == "conv0":
+            prep[name] = p  # 1x1 RGB rescale stays bf16 (3 channels, cheap)
+            continue
+        packed = name in packed_names
+        wq, ws = _quantize_kernel(
+            make_packed_kernel(p["w"]) if packed else np.asarray(p["w"], np.float32)
+        )
+        prep[name] = QConv(wq, ws, p["b"], packed)
+    return prep
+
+
+def prepare_encoder_q8(params: vgg.Params) -> Dict[str, Any]:
+    return _prepare_q8(params, _PACKED_ENC)
+
+
+def prepare_decoder_q8(params: vgg.Params) -> Dict[str, Any]:
+    return _prepare_q8(params, _PACKED_DEC)
+
+
+def apply_encoder_q8(prep: Dict, images: Array, dtype=jnp.bfloat16) -> Array:
+    x = images.astype(dtype)
+    p0 = prep["conv0"]
+    x = vgg.conv2d(x, p0["w"], p0["b"])
+    xp = pack_s2d(x)
+    xp = _qconv_apply(xp, prep["conv1_1"], True, dtype, "edge")
+    xp = _qconv_apply(xp, prep["conv1_2"], True, dtype, "edge")
+    x = phase_max(xp, 64)
+    pools_seen = 0
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv) and layer.name not in (
+            "conv0", *_PACKED_ENC
+        ):
+            x = _qconv_apply(x, prep[layer.name], layer.relu, dtype, "reflect")
+            if layer.name == "conv4_1":
+                return x
+        elif isinstance(layer, vgg.Pool):
+            pools_seen += 1
+            if pools_seen > 1:
+                x = vgg.maxpool_ceil(x)
+    return x
+
+
+def apply_decoder_q8(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
+    global _DEC_MID
+    if _DEC_MID is None:
+        _DEC_MID = _dec_mid_layers()
+    x = feat.astype(dtype)
+    for layer in _DEC_MID:
+        if isinstance(layer, vgg.Conv):
+            x = _qconv_apply(x, prep[layer.name], layer.relu, dtype, "reflect")
+        elif isinstance(layer, vgg.Upsample):
+            x = vgg.upsample_nearest2x(x)
+    xp = tile_as_upsample(x)
+    xp = _qconv_apply(xp, prep["dconv1_2"], True, dtype, "edge")
+    xp = _qconv_apply(xp, prep["dconv1_1"], False, dtype, "edge")
+    return unpack_d2s(xp, 3)
