@@ -2,27 +2,31 @@
 
 Prints ONE JSON line:
   {"metric": "stylize_img_per_sec_512px", "value": N, "unit": "img/s",
-   "vs_baseline": N / 75.9}
+   "vs_baseline": N / 75.9, ...extras}
 
 Baseline: the reference's committed stylize timing — 75.9 img/s at 256px,
 batch 128, on the author's CUDA GPU (BASELINE.md; artifact
-style_transfer/AdaIN/pacs_art_painting_overall_stylize_time.txt). We measure
+style_transfer/AdaIn/pacs_art_painting_overall_stylize_time.txt). We measure
 at 512px (the resolution the reference README actually uses), 4x the
 per-image work — vs_baseline therefore understates the true speedup.
 
-Measured step: the production Overall-transfer device computation — one
-encode of the content batch, then AdaIN + decode under each of the 3 other
-domains' style banks (the multi-style engine path; the reference re-encodes
-per style). bfloat16 with fp32 statistics, weights resident in HBM. The rate
-counts stylized output images per second, like the reference's timing
-artifacts.
+Measured step: the production Overall-transfer device computation with the
+**int8-static executor** (models/vgg_fast.py): one encode of the content
+batch, then AdaIN + decode under each of the 3 other domains' style banks.
+Weights are per-channel int8; activations int8 end-to-end with calibrated
+static scales (requantization fused into each conv's epilogue); reflect-pad
+semantics preserved exactly (packed edge-pad / int8 reflect pad). Quality is
+measured in-run: PSNR of the int8 output vs the bf16 reference executor
+(whose own <1e-3-MAE torch parity is covered by tests/test_vgg_parity.py)
+is reported as ``quality_psnr_db``. The bf16 parity-mode rate is reported
+as ``bf16_img_per_sec`` for comparison.
 
 Methodology: the iteration loop runs ON DEVICE (lax.fori_loop chaining each
 step's output into the next input) inside a single dispatch, and the result
 is fetched with jax.device_get — so neither async dispatch nor unreliable
 host-side completion signals can inflate the number. Two device-loop lengths
 cancel the constant dispatch + transfer overhead:
-  rate = batch * (N2 - N1) / (t2 - t1).
+  rate = batch * n_styles * (N2 - N1) / (t2 - t1).
 """
 from __future__ import annotations
 
@@ -34,8 +38,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def device_rate(step, state, batch_imgs: int, n1: int = 2, n2: int = 8) -> float:
+    @jax.jit
+    def chain(state, iters):
+        return jax.lax.fori_loop(0, iters, lambda _, x: step(x), state)
+
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        jax.device_get(jnp.sum(chain(state, jnp.asarray(iters)).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    rates = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(n2)
+        rates.append(batch_imgs * (n2 - n1) / max(t2 - t1, 1e-9))
+    return float(np.median(rates))
+
+
 def main() -> None:
-    from ccst_tpu.models import vgg
+    from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
     batch = 32
@@ -49,43 +71,58 @@ def main() -> None:
     s_means = jnp.asarray(rng.standard_normal((n_styles, 512)).astype(np.float32) * 0.1)
     s_stds = jnp.asarray(rng.random((n_styles, 512)).astype(np.float32) * 0.5 + 0.5)
 
-    @jax.jit
-    def chain(enc, dec, images, s_means, s_stds, iters):
-        def body(_, x):
-            feat = vgg.apply_encoder(enc, x.astype(jnp.bfloat16))
+    scales = vgg_fast.calibrate_scales(
+        enc, dec, images[:4], [(s_means[i], s_stds[i]) for i in range(n_styles)]
+    )
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+
+    def multi(encode, decode):
+        def step(x):
+            feat = encode(x)
 
             def one(stats):
-                s_mean, s_std = stats
-                t = adain_from_stats(feat, s_mean, s_std)
+                m, s = stats
+                t = adain_from_stats(feat, m, s)
                 t = alpha_blend(t, feat, jnp.asarray(1.0, t.dtype))
-                return vgg.apply_decoder(dec, t)
+                return decode(t)
 
-            outs = jax.lax.map(one, (s_means, s_stds))  # (S, B, H, W, 3)
-            return outs[0].astype(x.dtype)  # chain through style 0's output
+            return jax.lax.map(one, (s_means, s_stds))[0].astype(x.dtype)
 
-        out = jax.lax.fori_loop(0, iters, body, images)
-        return jnp.sum(out.astype(jnp.float32))
+        return step
 
-    def run(iters: int) -> float:
-        t0 = time.perf_counter()
-        jax.device_get(chain(enc, dec, images, s_means, s_stds, jnp.asarray(iters)))
-        return time.perf_counter() - t0
+    int8_step = multi(
+        lambda x: vgg_fast.apply_encoder_q8s(eq, x),
+        lambda t: vgg_fast.apply_decoder_q8s(dq, t),
+    )
+    bf16_step = multi(
+        lambda x: vgg.apply_encoder(enc, x.astype(jnp.bfloat16)),
+        lambda t: vgg.apply_decoder(dec, t),
+    )
 
-    run(2)  # compile + warm
-    n1, n2 = 2, 10
-    rates = []
-    for _ in range(3):
-        t1, t2 = run(n1), run(n2)
-        rates.append(batch * n_styles * (n2 - n1) / max(t2 - t1, 1e-9))
-    img_per_sec = float(np.median(rates))
+    int8_rate = device_rate(int8_step, images, batch * n_styles)
+    bf16_rate = device_rate(bf16_step, images, batch * n_styles)
+
+    # in-run quality: int8 output vs the torch-parity bf16 executor
+    featb = vgg.apply_encoder(enc, images[:4].astype(jnp.bfloat16))
+    tb = adain_from_stats(featb, s_means[0], s_stds[0])
+    want = np.asarray(vgg.apply_decoder(dec, tb), np.float32)
+    featq = vgg_fast.apply_encoder_q8s(eq, images[:4])
+    tq = adain_from_stats(featq, s_means[0], s_stds[0])
+    got = np.asarray(vgg_fast.apply_decoder_q8s(dq, tq), np.float32)
+    span = float(want.max() - want.min()) or 1.0
+    psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
 
     print(
         json.dumps(
             {
                 "metric": "stylize_img_per_sec_512px",
-                "value": round(img_per_sec, 2),
+                "value": round(int8_rate, 2),
                 "unit": "img/s",
-                "vs_baseline": round(img_per_sec / 75.9, 2),
+                "vs_baseline": round(int8_rate / 75.9, 2),
+                "engine": "int8-static",
+                "bf16_img_per_sec": round(bf16_rate, 2),
+                "quality_psnr_db": round(psnr, 1),
             }
         )
     )

@@ -108,6 +108,7 @@ def cmd_stylize(args) -> int:
     engine = StylizeEngine(
         enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size,
         output_u8=True,  # quantize on device: 4x less device->host traffic
+        engine=cfg.engine,
     )
     run = run_single_transfer if cfg.mode.lower() == "single" else run_overall_transfer
     report = run(cfg, engine)

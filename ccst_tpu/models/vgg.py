@@ -172,7 +172,13 @@ def maxpool_ceil(x: Array) -> Array:
     n, h, w, c = x.shape
     pad_h, pad_w = h % 2, w % 2
     if pad_h or pad_w:
-        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+        # identity of max: -inf for floats, INT_MIN for int8 (the quantized
+        # engine pools in the integer domain — max commutes with the
+        # monotone dequantization)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            neg_inf = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+        else:
+            neg_inf = jnp.asarray(-jnp.inf, x.dtype)
         x = jnp.pad(
             x,
             ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),

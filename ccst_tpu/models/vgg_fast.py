@@ -326,3 +326,198 @@ def apply_decoder_q8(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
     xp = _qconv_apply(xp, prep["dconv1_2"], True, dtype, "edge")
     xp = _qconv_apply(xp, prep["dconv1_1"], False, dtype, "edge")
     return unpack_d2s(xp, 3)
+
+
+# ---------------------------------------------------------------------------
+# int8 end-to-end engine (static calibrated scales)
+# ---------------------------------------------------------------------------
+#
+# The dynamic-scale engine above is HBM-bound at 512px: every layer
+# materializes a ~1 GB bf16 tensor, re-reads it to find max|x|, re-reads it
+# to quantize, and pads — ~4x the steady-state traffic of the conv itself
+# (measured, benchmarks/prefix_profile.py). With *static* per-layer input
+# scales (one calibration pass), requantization folds into the conv
+# epilogue: acc_i32 * k[c] + kb[c] -> rint -> clip -> int8, which XLA fuses
+# onto the conv output. Activations then stay int8 across layers; ReLU folds
+# into the clip lower bound; pool / nearest-upsample / packing are
+# scale-preserving permutations or maxima and run on int8 directly.
+
+
+class QConvS(NamedTuple):
+    wq: Array        # int8 kernel (packed layers: packed kernel)
+    k: Array         # f32 per-out-channel multiplier (in_s * w_s [/ out_s])
+    kb: Array        # f32 per-out-channel additive term (bias [/ out_s])
+    packed: bool
+    requant: bool    # True -> int8 output; False -> bf16/f32 output
+
+
+def _qconv_s(x_q: Array, q: QConvS, relu: bool, out_dtype, pad_mode: str) -> Array:
+    xq = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+    acc = jax.lax.conv_general_dilated(
+        xq, q.wq, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * q.k + q.kb
+    if not q.requant:
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(out_dtype)
+    lo = 0.0 if relu else -127.0  # ReLU folds into the clip lower bound
+    return jnp.clip(jnp.rint(y), lo, 127.0).astype(jnp.int8)
+
+
+def quantize_static(x: Array, scale: float) -> Array:
+    return jnp.clip(
+        jnp.rint(x.astype(jnp.float32) * (1.0 / scale)), -127, 127
+    ).astype(jnp.int8)
+
+
+def calibrate_scales(
+    enc_params: vgg.Params,
+    dec_params: vgg.Params,
+    images: Array,
+    style_stats: Optional[Sequence[Tuple[Array, Array]]] = None,
+    alpha: float = 1.0,
+) -> Dict[str, float]:
+    """One reference-path forward over a calibration batch (and style bank),
+    recording max|input| of every conv. Keyed by the conv whose INPUT the
+    scale quantizes; scales are per-tensor, weights stay per-channel.
+    Packing is a permutation, so calibrating on the unpacked path is exact
+    for the packed layers too."""
+    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+
+    scales: Dict[str, float] = {}
+
+    def rec(name, x):
+        scales[name] = max(
+            scales.get(name, 0.0), float(jnp.max(jnp.abs(x)))
+        )
+
+    x = images.astype(jnp.float32)
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv):
+            if layer.name != "conv0":
+                rec(layer.name, x)
+                x = vgg.conv2d(vgg.reflect_pad(x, 1),
+                               enc_params[layer.name]["w"],
+                               enc_params[layer.name]["b"])
+                if layer.relu:
+                    x = jax.nn.relu(x)
+                if layer.name == "conv4_1":
+                    break
+            else:
+                x = vgg.conv2d(x, enc_params["conv0"]["w"], enc_params["conv0"]["b"])
+        elif isinstance(layer, vgg.Pool):
+            x = vgg.maxpool_ceil(x)
+    feat = x
+    if style_stats is None:
+        style_stats = [(jnp.zeros((feat.shape[-1],)), jnp.ones((feat.shape[-1],)))]
+    for s_mean, s_std in style_stats:
+        t = adain_from_stats(feat, s_mean, s_std)
+        t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+        y = t
+        for layer in vgg.DECODER_ARCH:
+            if isinstance(layer, vgg.Conv):
+                rec(layer.name, y)
+                y = vgg.conv2d(vgg.reflect_pad(y, 1),
+                               dec_params[layer.name]["w"],
+                               dec_params[layer.name]["b"])
+                if layer.relu:
+                    y = jax.nn.relu(y)
+            elif isinstance(layer, vgg.Upsample):
+                y = vgg.upsample_nearest2x(y)
+    return scales
+
+
+_ENC_NEXT = {  # conv -> the conv consuming its output (requant target)
+    "conv1_1": "conv1_2", "conv1_2": "conv2_1", "conv2_1": "conv2_2",
+    "conv2_2": "conv3_1", "conv3_1": "conv3_2", "conv3_2": "conv3_3",
+    "conv3_3": "conv3_4", "conv3_4": "conv4_1", "conv4_1": None,
+}
+_DEC_NEXT = {
+    "dconv4_1": "dconv3_4", "dconv3_4": "dconv3_3", "dconv3_3": "dconv3_2",
+    "dconv3_2": "dconv3_1", "dconv3_1": "dconv2_2", "dconv2_2": "dconv2_1",
+    "dconv2_1": "dconv1_2", "dconv1_2": "dconv1_1", "dconv1_1": None,
+}
+
+
+def _prepare_q8s(
+    params: vgg.Params, scales: Dict[str, float],
+    next_map: Dict[str, Optional[str]], packed_names: Sequence[str],
+) -> Dict[str, Any]:
+    prep: Dict[str, Any] = {"__scales__": dict(scales)}
+    for name, p in params.items():
+        if name == "conv0":
+            prep[name] = p
+            continue
+        packed = name in packed_names
+        wq, ws = _quantize_kernel(
+            make_packed_kernel(p["w"]) if packed else np.asarray(p["w"], np.float32)
+        )
+        in_s = scales[name] / 127.0
+        nxt = next_map[name]
+        b = np.asarray(p["b"], np.float32)
+        if packed:
+            b = np.tile(b, 4)
+        k = np.asarray(ws, np.float32) * in_s
+        if nxt is None:  # dequantized output
+            prep[name] = QConvS(wq, jnp.asarray(k), jnp.asarray(b), packed, False)
+        else:
+            out_s = scales[nxt] / 127.0
+            prep[name] = QConvS(
+                wq,
+                jnp.asarray(k / out_s),
+                jnp.asarray(b / out_s),
+                packed,
+                True,
+            )
+    return prep
+
+
+def prepare_encoder_q8s(params: vgg.Params, scales: Dict[str, float]):
+    return _prepare_q8s(params, scales, _ENC_NEXT, _PACKED_ENC)
+
+
+def prepare_decoder_q8s(params: vgg.Params, scales: Dict[str, float]):
+    return _prepare_q8s(params, scales, _DEC_NEXT, _PACKED_DEC)
+
+
+def apply_encoder_q8s(prep: Dict, images: Array, dtype=jnp.bfloat16) -> Array:
+    """int8-e2e encoder: quantize once after conv0, stay int8 until relu4_1."""
+    x = images.astype(dtype)
+    p0 = prep["conv0"]
+    x = vgg.conv2d(x, p0["w"], p0["b"])
+    xq = quantize_static(x, prep["__scales__"]["conv1_1"] / 127.0)
+    xq = pack_s2d(xq)
+    xq = _qconv_s(xq, prep["conv1_1"], True, dtype, "edge")
+    xq = _qconv_s(xq, prep["conv1_2"], True, dtype, "edge")
+    xq = phase_max(xq, 64)  # int8 max == max in the (shared-scale) int domain
+    pools_seen = 0
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv) and layer.name not in ("conv0", *_PACKED_ENC):
+            xq = _qconv_s(xq, prep[layer.name], layer.relu, dtype, "reflect")
+            if layer.name == "conv4_1":
+                return xq  # dequantized bf16 relu4_1 features
+        elif isinstance(layer, vgg.Pool):
+            pools_seen += 1
+            if pools_seen > 1:
+                xq = vgg.maxpool_ceil(xq)
+    return xq
+
+
+def apply_decoder_q8s(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
+    """int8-e2e decoder: quantize the AdaIN features once, stay int8 until
+    the final image dequant."""
+    global _DEC_MID
+    if _DEC_MID is None:
+        _DEC_MID = _dec_mid_layers()
+    xq = quantize_static(feat, prep["__scales__"]["dconv4_1"] / 127.0)
+    for layer in _DEC_MID:
+        if isinstance(layer, vgg.Conv):
+            xq = _qconv_s(xq, prep[layer.name], layer.relu, dtype, "reflect")
+        elif isinstance(layer, vgg.Upsample):
+            xq = vgg.upsample_nearest2x(xq)
+    xq = tile_as_upsample(xq)
+    xq = _qconv_s(xq, prep["dconv1_2"], True, dtype, "edge")
+    y = _qconv_s(xq, prep["dconv1_1"], False, dtype, "edge")
+    return unpack_d2s(y, 3)

@@ -58,6 +58,15 @@ class StylizeEngine:
     """Compiled AdaIN stylization on one device.
 
     Weights are cast once to the compute dtype and kept on device.
+
+    ``engine`` selects the executor (models/vgg_fast.py, measured on v5e at
+    512px batch 32, multi-style):
+      - ``ref``          bf16 reference executor, <1e-3-MAE torch parity (454 img/s)
+      - ``packed``       bf16, space-to-depth level-1 stage, exact          (454 img/s)
+      - ``int8``         dynamic per-tensor int8 quantization               (616 img/s)
+      - ``int8-static``  int8 end-to-end with calibrated static scales      (715 img/s)
+    ``int8-static`` self-calibrates on the first batch + style bank it sees
+    (or call :meth:`calibrate` explicitly with representative data).
     """
 
     def __init__(
@@ -68,20 +77,45 @@ class StylizeEngine:
         dtype=jnp.bfloat16,
         output_size: int = -1,
         output_u8: bool = False,
+        engine: str = "ref",
     ):
         self.dtype = jnp.dtype(dtype)
         self.enc = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), encoder_params)
         self.dec = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), decoder_params)
         self.output_size = output_size
         self.output_u8 = output_u8
+        self.engine = engine
+        self._needs_calibration = engine == "int8-static"
+        self._build(encoder_params, decoder_params, scales=None)
 
-        @jax.jit
-        def _stylize(enc, dec, images, s_mean, s_std, alpha):
-            x = images.astype(self.dtype)
-            feat = vgg.apply_encoder(enc, x)
-            t = adain_from_stats(feat, s_mean, s_std)
-            t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
-            out = vgg.apply_decoder(dec, t)
+    def _build(self, encoder_params, decoder_params, scales) -> None:
+        from ccst_tpu.models import vgg_fast
+
+        kind = self.engine
+        if kind == "int8-static" and scales is None:
+            kind = "ref"  # until calibrated
+        if kind == "ref":
+            encode = lambda x: vgg.apply_encoder(self.enc, x)
+            decode = lambda t: vgg.apply_decoder(self.dec, t)
+        elif kind == "packed":
+            ep = vgg_fast.prepare_encoder(self.enc)
+            dp = vgg_fast.prepare_decoder(self.dec)
+            encode = lambda x: vgg_fast.apply_encoder_packed(ep, x, self.dtype)
+            decode = lambda t: vgg_fast.apply_decoder_packed(dp, t, self.dtype)
+        elif kind == "int8":
+            ep = vgg_fast.prepare_encoder_q8(self.enc)
+            dp = vgg_fast.prepare_decoder_q8(self.dec)
+            encode = lambda x: vgg_fast.apply_encoder_q8(ep, x, self.dtype)
+            decode = lambda t: vgg_fast.apply_decoder_q8(dp, t, self.dtype)
+        elif kind == "int8-static":
+            ep = vgg_fast.prepare_encoder_q8s(self.enc, scales)
+            dp = vgg_fast.prepare_decoder_q8s(self.dec, scales)
+            encode = lambda x: vgg_fast.apply_encoder_q8s(ep, x, self.dtype)
+            decode = lambda t: vgg_fast.apply_decoder_q8s(dp, t, self.dtype)
+        else:
+            raise ValueError(f"unknown stylize engine {self.engine!r}")
+
+        def finish(out):
             out = out.astype(jnp.float32)
             if self.output_size > 0:
                 out = resize_bilinear(out, self.output_size)
@@ -93,46 +127,63 @@ class StylizeEngine:
             return out
 
         @jax.jit
-        def _stylize_multi(enc, dec, images, s_means, s_stds, alpha):
+        def _stylize(images, s_mean, s_std, alpha):
+            feat = encode(images.astype(self.dtype))
+            t = adain_from_stats(feat, s_mean, s_std)
+            t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+            return finish(decode(t))
+
+        @jax.jit
+        def _stylize_multi(images, s_means, s_stds, alpha):
             """Encode ONCE, restyle under S style banks in one program.
 
             The reference's style-major loop re-runs the encoder per style
             (CCST_OverallStyleTransfer.py:138-156) — ~1/3 excess FLOPs for 3
             styles. Outputs are identical: AdaIN consumes the same content
             features either way. s_means/s_stds: (S, C)."""
-            x = images.astype(self.dtype)
-            feat = vgg.apply_encoder(enc, x)
+            feat = encode(images.astype(self.dtype))
 
             def one(s_mean, s_std):
                 t = adain_from_stats(feat, s_mean, s_std)
                 t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
-                out = vgg.apply_decoder(dec, t).astype(jnp.float32)
-                if self.output_size > 0:
-                    out = resize_bilinear(out, self.output_size)
-                if self.output_u8:
-                    out = jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5
-                    out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
-                return out
+                return finish(decode(t))
 
             return jax.lax.map(lambda ms: one(*ms), (s_means, s_stds))
 
         @jax.jit
-        def _style_stats(enc, image):
-            feat = vgg.apply_encoder(enc, image)
+        def _style_stats(image):
+            feat = vgg.apply_encoder(self.enc, image)
             # single style image: population (biased) stats like the
             # reference's calc_sum finalization (CCST_SingleStyleTransfer.py:201-204)
             mean, std = calc_mean_std(feat, ddof=0)
             return mean[0, 0, 0, :], std[0, 0, 0, :]
 
-        self._stylize = _stylize
-        self._stylize_multi = _stylize_multi
-        self._style_stats = _style_stats
+        self._stylize_fn = _stylize
+        self._stylize_multi_fn = _stylize_multi
+        self._style_stats_fn = _style_stats
+
+    def calibrate(self, images, style_stats: Sequence[Tuple]) -> None:
+        """int8-static: one reference-path pass over representative content
+        and the style bank, then rebuild the quantized executors."""
+        from ccst_tpu.models import vgg_fast
+
+        if self.engine != "int8-static":
+            return
+        scales = vgg_fast.calibrate_scales(
+            self.enc, self.dec, jnp.asarray(images),
+            [(jnp.asarray(m), jnp.asarray(s)) for m, s in style_stats],
+        )
+        self._build(self.enc, self.dec, scales)
+        self._needs_calibration = False
+
+    def _ensure_calibrated(self, images, s_means, s_stds) -> None:
+        if self._needs_calibration:
+            self.calibrate(images, list(zip(np.asarray(s_means), np.asarray(s_stds))))
 
     def stylize(self, images: Array, s_mean, s_std, alpha: float = 1.0) -> Array:
         """(B,H,W,3) [0,1] content -> stylized float32 images (unclamped)."""
-        return self._stylize(
-            self.enc,
-            self.dec,
+        self._ensure_calibrated(images, np.asarray(s_mean)[None], np.asarray(s_std)[None])
+        return self._stylize_fn(
             images,
             jnp.asarray(s_mean, jnp.float32),
             jnp.asarray(s_std, jnp.float32),
@@ -142,9 +193,8 @@ class StylizeEngine:
     def stylize_multi(self, images: Array, s_means, s_stds, alpha: float = 1.0) -> Array:
         """(B,H,W,3) content x (S,C) style banks -> (S,B,H,W,3): one encode,
         S decodes, one dispatch."""
-        return self._stylize_multi(
-            self.enc,
-            self.dec,
+        self._ensure_calibrated(images, s_means, s_stds)
+        return self._stylize_multi_fn(
             images,
             jnp.asarray(s_means, jnp.float32),
             jnp.asarray(s_stds, jnp.float32),
@@ -153,7 +203,7 @@ class StylizeEngine:
 
     def style_stats_of(self, image: Array) -> Tuple[Array, Array]:
         """relu4_1 (mean, std) channel vectors of a single (1,H,W,3) image."""
-        return self._style_stats(self.enc, image)
+        return self._style_stats_fn(image)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,31 @@ def test_packed_rejects_odd_sizes(enc_dec):
         )
 
 
+def test_int8_static_scale_stylize_quality(enc_dec, images):
+    """int8-e2e engine (static calibrated scales): quality must be in the
+    same band as the dynamic-scale engine."""
+    enc, dec = enc_dec
+    s_mean = jnp.asarray(np.random.default_rng(3).standard_normal(512) * 0.1,
+                         jnp.float32)
+    s_std = jnp.asarray(np.random.default_rng(4).random(512) + 0.5, jnp.float32)
+
+    feat = vgg.apply_encoder(enc, images)
+    want = vgg.apply_decoder(dec, adain_from_stats(feat, s_mean, s_std))
+
+    scales = vgg_fast.calibrate_scales(enc, dec, images, [(s_mean, s_std)])
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+    featq = vgg_fast.apply_encoder_q8s(eq, images, dtype=jnp.float32)
+    got = vgg_fast.apply_decoder_q8s(
+        dq, adain_from_stats(featq, s_mean, s_std), dtype=jnp.float32
+    )
+    assert got.shape == want.shape
+    err = np.asarray(got, np.float32) - np.asarray(want, np.float32)
+    span = float(np.asarray(want).max() - np.asarray(want).min()) or 1.0
+    psnr = 10 * np.log10(span**2 / float(np.mean(err**2)))
+    assert psnr > 20.0, f"int8-e2e stylize PSNR {psnr:.1f} dB too low"
+
+
 def test_int8_stylize_quality(enc_dec, images):
     """Full int8 stylize tracks the fp32 path (coarse bound: quantization
     noise, not correctness drift — exact parity belongs to the bf16 engines)."""
@@ -92,3 +117,28 @@ def test_int8_stylize_quality(enc_dec, images):
     span = float(np.asarray(want).max() - np.asarray(want).min()) or 1.0
     psnr = 10 * np.log10(span**2 / float(np.mean(err**2)))
     assert psnr > 20.0, f"int8 stylize PSNR {psnr:.1f} dB too low"
+
+
+def test_stylize_engine_executor_selection(enc_dec, images):
+    """StylizeEngine(engine=...) wires every executor; packed == ref
+    exactly, int8-static self-calibrates on first use and stays close."""
+    import jax.numpy as jnp
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    enc, dec = enc_dec
+    s_means = np.stack([np.zeros(512, np.float32), np.full(512, 0.1, np.float32)])
+    s_stds = np.stack([np.ones(512, np.float32), np.full(512, 0.8, np.float32)])
+
+    ref = StylizeEngine(enc, dec, dtype=jnp.float32, engine="ref")
+    want = np.asarray(ref.stylize_multi(images, s_means, s_stds))
+
+    packed = StylizeEngine(enc, dec, dtype=jnp.float32, engine="packed")
+    got = np.asarray(packed.stylize_multi(images, s_means, s_stds))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    q8s = StylizeEngine(enc, dec, dtype=jnp.float32, engine="int8-static")
+    got = np.asarray(q8s.stylize_multi(images, s_means, s_stds))
+    assert not q8s._needs_calibration
+    span = float(want.max() - want.min()) or 1.0
+    psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
+    assert psnr > 20.0, f"int8-static engine PSNR {psnr:.1f}"
