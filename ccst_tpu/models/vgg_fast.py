@@ -132,16 +132,42 @@ def tile_as_upsample(x: Array) -> Array:
     return jnp.tile(x, (1, 1, 1, 4))
 
 
+def sum_input_phases(K: np.ndarray, cin: int) -> np.ndarray:
+    """Fold a nearest-2x upsample INTO a packed kernel.
+
+    A packed conv computes sum_p K[:, :, p*cin:(p+1)*cin, :] @ x_phase_p.
+    When the packed input is an upsample, every phase equals the small
+    tensor y, so the phase groups sum: (3,3,4*cin,4*cout) -> (3,3,cin,4*cout)
+    applied directly to y — 4x fewer MACs than the dense packed conv, no
+    channel-tile materialization, exact."""
+    k = np.asarray(K, np.float32)
+    return sum(
+        k[:, :, p * cin : (p + 1) * cin, :] for p in range(4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # bf16 packed engine (exact)
 # ---------------------------------------------------------------------------
+
+
+def _packed_kernel_for(name: str, w: Array) -> np.ndarray:
+    """Packed kernel for layer ``name``; dconv1_2 consumes a nearest-2x
+    upsample, so its upsample folds into the kernel (sum_input_phases)."""
+    K = make_packed_kernel(w)
+    if name == "dconv1_2":
+        K = sum_input_phases(K, np.shape(w)[2])
+    return K
 
 
 def _prepare_packed(params: vgg.Params, names: Sequence[str]) -> Dict[str, Dict[str, Array]]:
     out = {}
     for name, p in params.items():
         if name in names:
-            out[name] = {"K": jnp.asarray(make_packed_kernel(p["w"])), "b": p["b"]}
+            out[name] = {
+                "K": jnp.asarray(_packed_kernel_for(name, p["w"])),
+                "b": p["b"],
+            }
         else:
             out[name] = p
     return out
@@ -215,8 +241,8 @@ def apply_decoder_packed(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
                 x = jax.nn.relu(x)
         elif isinstance(layer, vgg.Upsample):
             x = vgg.upsample_nearest2x(x)
-    xp = tile_as_upsample(x)  # packed upsample to 2x
-    xp = packed_reflect_conv(xp, prep["dconv1_2"]["K"], prep["dconv1_2"]["b"])
+    # upsample folded into dconv1_2's summed kernel: conv the SMALL tensor
+    xp = packed_reflect_conv(x, prep["dconv1_2"]["K"], prep["dconv1_2"]["b"])
     xp = packed_reflect_conv(
         xp, prep["dconv1_1"]["K"], prep["dconv1_1"]["b"], relu=False
     )
@@ -275,7 +301,8 @@ def _prepare_q8(params: vgg.Params, packed_names: Sequence[str]) -> Dict[str, An
             continue
         packed = name in packed_names
         wq, ws = _quantize_kernel(
-            make_packed_kernel(p["w"]) if packed else np.asarray(p["w"], np.float32)
+            _packed_kernel_for(name, p["w"]) if packed
+            else np.asarray(p["w"], np.float32)
         )
         prep[name] = QConv(wq, ws, p["b"], packed)
     return prep
@@ -322,8 +349,8 @@ def apply_decoder_q8(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
             x = _qconv_apply(x, prep[layer.name], layer.relu, dtype, "reflect")
         elif isinstance(layer, vgg.Upsample):
             x = vgg.upsample_nearest2x(x)
-    xp = tile_as_upsample(x)
-    xp = _qconv_apply(xp, prep["dconv1_2"], True, dtype, "edge")
+    # upsample folded into dconv1_2's summed kernel (sum_input_phases)
+    xp = _qconv_apply(x, prep["dconv1_2"], True, dtype, "edge")
     xp = _qconv_apply(xp, prep["dconv1_1"], False, dtype, "edge")
     return unpack_d2s(xp, 3)
 
@@ -452,7 +479,8 @@ def _prepare_q8s(
             continue
         packed = name in packed_names
         wq, ws = _quantize_kernel(
-            make_packed_kernel(p["w"]) if packed else np.asarray(p["w"], np.float32)
+            _packed_kernel_for(name, p["w"]) if packed
+            else np.asarray(p["w"], np.float32)
         )
         in_s = scales[name] / 127.0
         nxt = next_map[name]
@@ -517,7 +545,7 @@ def apply_decoder_q8s(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
             xq = _qconv_s(xq, prep[layer.name], layer.relu, dtype, "reflect")
         elif isinstance(layer, vgg.Upsample):
             xq = vgg.upsample_nearest2x(xq)
-    xq = tile_as_upsample(xq)
+    # upsample folded into dconv1_2's summed kernel (sum_input_phases)
     xq = _qconv_s(xq, prep["dconv1_2"], True, dtype, "edge")
     y = _qconv_s(xq, prep["dconv1_1"], False, dtype, "edge")
     return unpack_d2s(y, 3)

@@ -57,6 +57,48 @@ class MetricsLogger:
             )
             print(f"[{event}] {printable}")
 
+    def log_image(self, tag: str, image, step: Optional[int] = None) -> None:
+        """Image summary — TFLogger.image_summary parity
+        (reference utils/tf_logger.py:30-52). ``image``: (H, W, C) float in
+        [0, 1] or uint8. No-op without a TensorBoard writer; always records
+        a compact JSONL stub (shape + mean) so runs remain self-describing."""
+        import numpy as np
+
+        arr = np.asarray(image)
+        step = self._step if step is None else int(step)
+        if self._f:
+            self._f.write(json.dumps({
+                "event": "image", "tag": tag, "step": step,
+                "shape": list(arr.shape), "mean": float(arr.mean()),
+            }) + "\n")
+            self._f.flush()
+        if self._tb is not None:
+            if arr.dtype != "uint8":
+                arr = (arr.clip(0, 1) * 255).astype("uint8")
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+
+    def log_histogram(self, tag: str, values, step: Optional[int] = None,
+                      bins: int = 64) -> None:
+        """Histogram summary — TFLogger.histo_summary parity
+        (reference utils/tf_logger.py:54-81). Bucketizes on the host and
+        records the JSONL histogram; also forwards to TensorBoard if on."""
+        import numpy as np
+
+        vals = np.asarray(values).ravel()
+        step = self._step if step is None else int(step)
+        counts, edges = np.histogram(vals, bins=bins)
+        if self._f:
+            self._f.write(json.dumps({
+                "event": "histogram", "tag": tag, "step": step,
+                "min": float(vals.min()), "max": float(vals.max()),
+                "mean": float(vals.mean()), "std": float(vals.std()),
+                "counts": counts.tolist(),
+                "edges": [float(edges[0]), float(edges[-1])],
+            }) + "\n")
+            self._f.flush()
+        if self._tb is not None:
+            self._tb.add_histogram(tag, vals, step)
+
     def close(self) -> None:
         if self._f:
             self._f.close()

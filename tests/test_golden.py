@@ -61,3 +61,33 @@ def test_style_bank_golden(rng):
         pytest.skip("golden generated; rerun to compare")
     golden = np.load(path)["out"]
     np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_stylize_golden_production_shape():
+    """Production-shaped anchor: 512px, bfloat16 compute (the bench/pipeline
+    configuration). bf16 rounding is deterministic per platform but not
+    across platforms, so the comparison allows bf16-scale tolerance while
+    still catching any semantic drift (a wrong pad/pool/fusion moves pixels
+    by orders of magnitude more than 1 ulp)."""
+    from ccst_tpu.models import vgg
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    enc = vgg.init_params(jax.random.PRNGKey(42), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(43), vgg.DECODER_ARCH)
+    engine = StylizeEngine(enc, dec, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.random((1, 512, 512, 3), np.float32))
+    s_mean = rng.standard_normal(512).astype(np.float32) * 0.05
+    s_std = (rng.random(512).astype(np.float32) * 0.1 + 0.02).astype(np.float32)
+    out = np.asarray(engine.stylize(images, s_mean, s_std, 1.0))
+    assert out.shape == (1, 512, 512, 3)
+    path = os.path.join(GOLDEN_DIR, "stylize_512px_bf16.npz")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, out=out.astype(np.float16))
+        pytest.skip("golden generated; rerun to compare")
+    golden = np.load(path)["out"].astype(np.float32)
+    span = float(golden.max() - golden.min()) or 1.0
+    err = np.abs(out - golden)
+    assert err.mean() / span < 2e-3, f"mean drift {err.mean()/span:.2e}"
+    assert np.quantile(err, 0.999) / span < 2e-2

@@ -150,3 +150,22 @@ def test_segment_path_rewrite_ignores_substring_collisions():
                                mode="overall")
     assert out == ("/data/photo_sets/pacs/all_style_transferred_Overall/"
                    "photo/art_painting/dog/pic_001_art_painting.jpg")
+
+
+def test_metrics_image_and_histogram_summaries(tmp_path):
+    """TFLogger image/histogram parity (reference utils/tf_logger.py:30-81)
+    as JSONL records (TensorBoard forwarding when available)."""
+    import json as _json
+    import numpy as np
+    from ccst_tpu.utils.metrics import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(path, echo=False)
+    lg.log_image("recon", np.zeros((8, 8, 3), np.float32) + 0.5, step=3)
+    lg.log_histogram("weights", np.arange(100, dtype=np.float32), step=3)
+    lg.close()
+    recs = [_json.loads(l) for l in open(path)]
+    img = next(r for r in recs if r["event"] == "image")
+    assert img["shape"] == [8, 8, 3] and img["step"] == 3
+    h = next(r for r in recs if r["event"] == "histogram")
+    assert sum(h["counts"]) == 100 and h["max"] == 99.0

@@ -183,3 +183,49 @@ def test_spatial_sharded_stylize_matches_single_device(rng):
     engine = StylizeEngine(enc, dec, dtype=jnp.float32)
     out_single = np.asarray(engine.stylize(jnp.asarray(images), s_mean, s_std, 1.0))
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet50_param_sharding_model_axis(rng):
+    """Tensor parallelism via GSPMD (parallel/tensor.py): ResNet-50 params
+    sharded over the `model` axis of a (data=2, model=4) mesh; forward
+    logits and a grad step must match the unsharded computation. This
+    retires the reference's hand-split ModelParallelResNet50
+    (nets/resnet.py:235-260) with sharding annotations instead of model
+    surgery."""
+    from ccst_tpu.parallel.tensor import make_dp_tp_mesh, shard_batch, shard_params
+
+    model = get_network("resnet50", classes=4)
+    x = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 4))
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    def loss_fn(params, x, labels):
+        logits = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1)), logits
+
+    (loss_ref, logits_ref), grads_ref = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables["params"], x, labels)
+
+    mesh = make_dp_tp_mesh(2, 4)
+    params_sh = shard_params(variables["params"], mesh)
+    # confirm something is actually model-sharded (conv kernels >=128 cout)
+    k = params_sh["layer4_0"]["Conv_2"]["kernel"]
+    assert "model" in str(k.sharding.spec), k.sharding
+    batch = shard_batch({"x": x, "labels": labels}, mesh)
+
+    (loss_sh, logits_sh), grads_sh = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(params_sh, batch["x"], batch["labels"])
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(logits_sh), np.asarray(logits_ref), atol=2e-4
+    )
+    g1 = np.asarray(grads_sh["conv1"]["kernel"])
+    g2 = np.asarray(grads_ref["conv1"]["kernel"])
+    np.testing.assert_allclose(g1, g2, atol=2e-4)
