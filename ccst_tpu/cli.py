@@ -251,6 +251,55 @@ def cmd_invert_eval(args) -> int:
     return 0
 
 
+def cmd_gan_train(args) -> int:
+    """Train the lightweight GAN (hinge + DiffAugment + aux recon) on one
+    domain's train images — the reference's lightweight_gan CLI surface
+    (reconstruct_img/lightweight_gan/cli.py) rebuilt on flax/optax."""
+    import numpy as _np
+
+    from ccst_tpu.data.lists import parse_list, train_list_path
+    from ccst_tpu.data.loader import ImageBatchLoader, save_image_u8
+    from ccst_tpu.privacy.gan import GanConfig, GanTrainer
+    from ccst_tpu.utils.checkpoint import save_checkpoint
+    from ccst_tpu.utils.metrics import MetricsLogger
+
+    cfg = GanConfig(
+        image_size=args.image_size, latent_dim=args.latent_dim,
+        batch_size=args.batch_size, lr=args.lr, steps=args.steps,
+        aug_policy=args.aug_policy, seed=args.seed, fmap_max=args.fmap_max,
+    )
+    names, labels = parse_list(
+        train_list_path(args.list_root, args.dataset, args.source)
+    )
+    paths = [os.path.join(args.data_root, n) if args.data_root else n for n in names]
+    loader = ImageBatchLoader(
+        paths, labels, batch_size=cfg.batch_size, image_size=cfg.image_size,
+        shuffle=True, seed=cfg.seed, loop=True, drop_last=True,
+    )
+    trainer = GanTrainer(cfg)
+    logger = MetricsLogger(
+        os.path.join(args.out_dir, f"gan_{args.dataset}_{args.source}.jsonl")
+    )
+    it = iter(loader)
+    for step in range(cfg.steps):
+        batch = next(it)
+        metrics = trainer.train_step(batch.images)
+        if step % max(1, args.log_every) == 0:
+            logger.log("gan_step", step=step, **metrics)
+    save_checkpoint(
+        os.path.join(args.out_dir, f"gan_{args.dataset}_{args.source}.msgpack"),
+        {"g_ema": trainer.g_ema, "g": trainer.g_params, "d": trainer.d_params,
+         "config": {"image_size": cfg.image_size, "latent_dim": cfg.latent_dim,
+                    "fmap_max": cfg.fmap_max}},
+    )
+    samples = _np.asarray(trainer.generate(4))
+    for i, img in enumerate(samples):
+        save_image_u8(img, os.path.join(args.out_dir, f"sample_{i}.png"))
+    logger.close()
+    print(json.dumps({"steps": cfg.steps, "out_dir": args.out_dir, **metrics}))
+    return 0
+
+
 def cmd_filter_blank(args) -> int:
     from ccst_tpu.data.lists import filter_blank_images
 
@@ -397,6 +446,23 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--overall", action="store_true",
                    help="invert the domain-level Overall statistic")
     p.set_defaults(fn=cmd_invert_eval)
+
+    p = sub.add_parser("gan-train", help="train the lightweight GAN on one domain")
+    p.add_argument("--dataset", default="pacs")
+    p.add_argument("--source", default="art_painting")
+    p.add_argument("--list-root", default="")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--out-dir", default="gan")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--latent-dim", type=int, default=256)
+    p.add_argument("--fmap-max", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--aug-policy", default="color,translation,cutout")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_gan_train)
 
     p = sub.add_parser("filter-blank", help="write _discardBlackWhite lists")
     p.add_argument("--dataset", default="camelyon17")

@@ -1,0 +1,286 @@
+"""Adversarial training surface for the privacy subsystem.
+
+The reference vendors lucidrains' lightweight-GAN package and uses its CLI
+for GAN experiments (reconstruct_img/lightweight_gan/lightweight_gan.py:
+Generator :515-628, Discriminator :631-788, DiffAugment in diff_augment.py,
+hinge losses + AdaBelief in the Trainer; NCCL DDP in cli.py:37-60). Only the
+Generator feeds the CCST rebuttal scripts, but the GAN training surface is
+part of the reference's API. This is a TPU-idiomatic flax/optax redesign of
+that surface, keeping its load-bearing ideas:
+
+  - lightweight discriminator: strided downsampling stack to two logit
+    grids (32x32 branch and 8x8 branch like the upstream's dual outputs);
+  - self-supervised auxiliary decoder: reconstruct a downsized crop of the
+    REAL images from intermediate D features (the upstream's
+    SimpleDecoder + recon loss, which stabilizes small-data training);
+  - differentiable augmentation (color / translation / cutout) applied to
+    both real and fake images inside the loss (diff_augment.py semantics),
+    jit-able with explicit PRNG keys;
+  - hinge GAN losses, AdaBelief optimizer (optax), EMA generator weights;
+  - data parallelism by batch sharding over a mesh instead of DDP.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ccst_tpu.privacy.generator import StyleInverter, _upsample2x
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# DiffAugment (diff_augment.py parity: color, translation, cutout)
+# ---------------------------------------------------------------------------
+
+
+def _aug_color(key: jax.Array, x: Array) -> Array:
+    kb, ks, kc = jax.random.split(key, 3)
+    n = x.shape[0]
+    brightness = jax.random.uniform(kb, (n, 1, 1, 1), minval=-0.5, maxval=0.5)
+    x = x + brightness
+    mean_c = jnp.mean(x, axis=-1, keepdims=True)
+    sat = jax.random.uniform(ks, (n, 1, 1, 1), minval=0.0, maxval=2.0)
+    x = (x - mean_c) * sat + mean_c
+    mean_all = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    contrast = jax.random.uniform(kc, (n, 1, 1, 1), minval=0.5, maxval=1.5)
+    return (x - mean_all) * contrast + mean_all
+
+
+def _aug_translation(key: jax.Array, x: Array, ratio: float = 0.125) -> Array:
+    n, h, w, c = x.shape
+    sh, sw = int(h * ratio) + 1, int(w * ratio) + 1
+    kx, ky = jax.random.split(key)
+    tx = jax.random.randint(kx, (n,), -sh + 1, sh)
+    ty = jax.random.randint(ky, (n,), -sw + 1, sw)
+    padded = jnp.pad(x, ((0, 0), (sh, sh), (sw, sw), (0, 0)))
+
+    def shift_one(img, dx, dy):
+        return jax.lax.dynamic_slice(img, (sh + dx, sw + dy, 0), (h, w, c))
+
+    return jax.vmap(shift_one)(padded, tx, ty)
+
+
+def _aug_cutout(key: jax.Array, x: Array, ratio: float = 0.5) -> Array:
+    n, h, w, _ = x.shape
+    ch, cw = int(h * ratio), int(w * ratio)
+    kx, ky = jax.random.split(key)
+    ox = jax.random.randint(kx, (n, 1, 1), 0, h - ch + 1)
+    oy = jax.random.randint(ky, (n, 1, 1), 0, w - cw + 1)
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    mask = ((rows >= ox) & (rows < ox + ch) & (cols >= oy) & (cols < oy + cw))
+    return x * (1.0 - mask[..., None].astype(x.dtype))
+
+
+_POLICIES = {
+    "color": _aug_color,
+    "translation": _aug_translation,
+    "cutout": _aug_cutout,
+}
+
+
+def diff_augment(key: jax.Array, x: Array, policy: str = "color,translation,cutout") -> Array:
+    """Differentiable augmentation on NHWC [0,1] images (applied identically
+    to real and fake batches inside the GAN losses, diff_augment.py:5-16)."""
+    for name in [p.strip() for p in policy.split(",") if p.strip()]:
+        key, sub = jax.random.split(key)
+        x = _POLICIES[name](sub, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (+ self-supervised decoder)
+# ---------------------------------------------------------------------------
+
+
+class _DownBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.Conv(self.features, (4, 4), strides=(2, 2), padding=1)(x)
+        y = nn.leaky_relu(y, 0.1)
+        y = nn.Conv(self.features, (3, 3), padding=1)(y)
+        y = nn.leaky_relu(y, 0.1)
+        # averaged-pool residual branch, like the upstream's SumBranches
+        r = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        r = nn.Conv(self.features, (1, 1))(r)
+        return (y + r) * (0.5**0.5)
+
+
+class SimpleDecoder(nn.Module):
+    """Reconstruct a small RGB image from a D feature map (upstream
+    SimpleDecoder: upsample+conv chain used for the auxiliary recon loss)."""
+
+    out_size: int = 32
+
+    @nn.compact
+    def __call__(self, f: Array) -> Array:
+        x = f
+        while x.shape[1] < self.out_size:
+            x = _upsample2x(x)
+            x = nn.Conv(max(x.shape[-1] // 2, 16), (3, 3), padding=1)(x)
+            x = nn.leaky_relu(x, 0.1)
+        return jax.nn.sigmoid(nn.Conv(3, (3, 3), padding=1)(x))
+
+
+class Discriminator(nn.Module):
+    """Downsampling stack -> patch logits at two scales + aux decoder taps."""
+
+    image_size: int = 256
+    fmap_max: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array, decode: bool = False):
+        res = self.image_size
+        feats = []
+        c = 16
+        while res > 8:
+            x = _DownBlock(min(c, self.fmap_max))(x)
+            res //= 2
+            c *= 2
+            feats.append(x)
+        logits_main = nn.Conv(1, (1, 1))(nn.leaky_relu(
+            nn.Conv(min(c, self.fmap_max), (1, 1))(x), 0.1))  # (B, 8, 8, 1)
+        # 32x32-scale auxiliary logits (upstream's second output head)
+        f32 = next((f for f in feats if f.shape[1] == 32), feats[-1])
+        logits_32 = nn.Conv(1, (4, 4), strides=(4, 4))(f32)
+        if not decode:
+            return logits_main, logits_32
+        recon = SimpleDecoder(out_size=32)(x)
+        return (logits_main, logits_32), recon
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GanConfig:
+    image_size: int = 256
+    latent_dim: int = 256
+    batch_size: int = 8
+    lr: float = 2e-4            # upstream Trainer default
+    ttur_mult: float = 1.0
+    steps: int = 100
+    aug_policy: str = "color,translation,cutout"
+    recon_weight: float = 1.0
+    ema_decay: float = 0.995
+    seed: int = 0
+    fmap_max: int = 256
+
+
+class GanTrainer:
+    """Hinge-loss GAN with DiffAugment, aux reconstruction, EMA generator.
+
+    Functional step (jit once); data parallel by giving ``mesh`` a sharded
+    batch (the NCCL-DDP replacement, SURVEY.md §2.8).
+    """
+
+    def __init__(self, cfg: GanConfig):
+        self.cfg = cfg
+        self.gen = StyleInverter(
+            image_size=cfg.image_size, latent_dim=cfg.latent_dim,
+            fmap_max=cfg.fmap_max,
+        )
+        self.disc = Discriminator(image_size=cfg.image_size, fmap_max=cfg.fmap_max)
+        key = jax.random.PRNGKey(cfg.seed)
+        kg, kd, self._key = jax.random.split(key, 3)
+        z0 = jnp.zeros((1, cfg.latent_dim))
+        x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        self.g_params = self.gen.init(kg, z0)["params"]
+        self.d_params = self.disc.init(kd, x0, decode=True)["params"]
+        self.g_ema = jax.tree.map(jnp.copy, self.g_params)
+        self.g_opt = optax.adabelief(cfg.lr, b1=0.5, b2=0.9)
+        self.d_opt = optax.adabelief(cfg.lr * cfg.ttur_mult, b1=0.5, b2=0.9)
+        self.g_opt_state = self.g_opt.init(self.g_params)
+        self.d_opt_state = self.d_opt.init(self.d_params)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        cfg = self.cfg
+        gen, disc = self.gen, self.disc
+
+        def d_loss_fn(d_params, g_params, real, key):
+            kz, ka1, ka2 = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (real.shape[0], cfg.latent_dim))
+            fake = jax.lax.stop_gradient(gen.apply({"params": g_params}, z))
+            real_aug = diff_augment(ka1, real, cfg.aug_policy)
+            fake_aug = diff_augment(ka2, fake, cfg.aug_policy)
+            (lr_main, lr_32), recon = disc.apply(
+                {"params": d_params}, real_aug, decode=True
+            )
+            lf_main, lf_32 = disc.apply({"params": d_params}, fake_aug)
+            hinge_real = jnp.mean(jax.nn.relu(1.0 - lr_main)) + jnp.mean(
+                jax.nn.relu(1.0 - lr_32)
+            )
+            hinge_fake = jnp.mean(jax.nn.relu(1.0 + lf_main)) + jnp.mean(
+                jax.nn.relu(1.0 + lf_32)
+            )
+            # aux: reconstruct the downsized real image from D features
+            target = jax.image.resize(
+                real_aug, (real.shape[0], 32, 32, 3), method="bilinear"
+            )
+            recon_loss = jnp.mean(jnp.square(recon - target))
+            return hinge_real + hinge_fake + cfg.recon_weight * recon_loss, (
+                hinge_real, hinge_fake, recon_loss
+            )
+
+        def g_loss_fn(g_params, d_params, batch_size, key):
+            kz, ka = jax.random.split(key)
+            z = jax.random.normal(kz, (batch_size, cfg.latent_dim))
+            fake = gen.apply({"params": g_params}, z)
+            lf_main, lf_32 = disc.apply(
+                {"params": d_params}, diff_augment(ka, fake, cfg.aug_policy)
+            )
+            return -(jnp.mean(lf_main) + jnp.mean(lf_32))
+
+        def step(g_params, d_params, g_opt_state, d_opt_state, g_ema, real, key):
+            kd, kg = jax.random.split(key)
+            (d_loss, parts), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_params, g_params, real, kd
+            )
+            d_updates, d_opt_state = self.d_opt.update(d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
+                g_params, d_params, real.shape[0], kg
+            )
+            g_updates, g_opt_state = self.g_opt.update(g_grads, g_opt_state, g_params)
+            g_params = optax.apply_updates(g_params, g_updates)
+            g_ema = jax.tree.map(
+                lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
+                g_ema, g_params,
+            )
+            metrics = {
+                "d_loss": d_loss, "g_loss": g_loss,
+                "hinge_real": parts[0], "hinge_fake": parts[1],
+                "recon": parts[2],
+            }
+            return g_params, d_params, g_opt_state, d_opt_state, g_ema, metrics
+
+        return step
+
+    def train_step(self, real: Array) -> Dict[str, float]:
+        self._key, sub = jax.random.split(self._key)
+        (self.g_params, self.d_params, self.g_opt_state, self.d_opt_state,
+         self.g_ema, metrics) = self._step(
+            self.g_params, self.d_params, self.g_opt_state, self.d_opt_state,
+            self.g_ema, jnp.asarray(real), sub,
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    def generate(self, n: int, key: Optional[jax.Array] = None, ema: bool = True) -> Array:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        z = jax.random.normal(key, (n, self.cfg.latent_dim))
+        params = self.g_ema if ema else self.g_params
+        return self.gen.apply({"params": params}, z)
