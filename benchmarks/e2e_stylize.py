@@ -1,0 +1,120 @@
+"""End-to-end stylize benchmark: disk -> decode -> device -> encode -> disk.
+
+The device-only rate (bench.py) isolates chip throughput; this measures the
+WHOLE production pipeline the reference timed (its 75.9 img/s artifact
+includes PIL decode and save_image, CCST_OverallStyleTransfer.py:147-175):
+content JPEGs on disk, style banks computed by the style-bank stage, the
+Overall transfer CLI with the int8-static executor, stylized JPEGs written
+back. Writes BENCH_E2E.json at the repo root.
+
+Environment caveat (measured, embedded in the artifact): the dev harness
+reaches the TPU through a network tunnel whose device->host bandwidth is
+~2-18 MB/s (vs ~10+ GB/s PCIe on a real TPU host). At 512px every stylized
+u8 batch is ~38 MB, so on THIS harness the end-to-end number measures the
+tunnel, not the framework; the artifact therefore reports the tunnel
+bandwidth alongside so the number can be attributed. The host also has one
+CPU core (decode/encode ~90-100 img/s at 512px) — on real hardware that,
+not the device (956 img/s), would be the pipeline bound.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PER_DOMAIN = 48
+SIZE = 512
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    import ccst_tpu.config as cc
+    from ccst_tpu.cli import main as cli_main
+    from ccst_tpu.data.lists import write_list
+    from ccst_tpu.data.loader import save_image_u8
+
+    root = tempfile.mkdtemp(prefix="ccst_e2e_")
+    rng = np.random.default_rng(0)
+    domains = cc.DATASETS["pacs"].domains
+    t_gen = time.perf_counter()
+    for d in domains:
+        names, labels = [], []
+        for i in range(N_PER_DOMAIN):
+            rel = f"PACS/kfold/{d}/cls/img{i:03d}.jpg"
+            img = np.clip(
+                rng.normal(0.5, 0.2, (SIZE, SIZE, 3)), 0, 1
+            ).astype(np.float32)
+            save_image_u8(img, os.path.join(root, rel))
+            names.append(rel)
+            labels.append(0)
+        write_list(
+            os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"), names, labels
+        )
+    t_gen = time.perf_counter() - t_gen
+
+    common = [
+        "--dataset", "pacs", "--list-root", root, "--data-root", root,
+        "--output-root", root,
+        "--style-stats-dir", os.path.join(root, "style_stats"),
+        "--image-size", str(SIZE), "--batch-size", "48",
+    ]
+    t0 = time.perf_counter()
+    assert cli_main(["style-bank", *common, "--target", "art_painting"]) == 0
+    t_bank = time.perf_counter() - t0
+
+    def run_stylize():
+        t0 = time.perf_counter()
+        assert cli_main([
+            "stylize", *common, "--target", "art_painting",
+            "--mode", "overall", "--engine", "int8-static",
+        ]) == 0
+        return time.perf_counter() - t0
+
+    t_cold = run_stylize()   # includes compile + calibration
+    t_warm = run_stylize()   # steady state (graphs cached)
+    n_out = N_PER_DOMAIN * (len(domains) - 1)
+
+    # measure the tunnel's device<->host bandwidth so the e2e number can be
+    # attributed (on this harness it IS the bottleneck)
+    import jax
+
+    probe = np.zeros((38, 1000, 1000), np.uint8)  # 38 MB, one output batch
+    d = jax.device_put(probe)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(d))
+    down_mbs = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    artifact = {
+        "metric": "e2e_stylize_img_per_sec_512px",
+        "value": round(n_out / t_warm, 2),
+        "unit": "img/s",
+        "pipeline": "disk jpg -> decode -> int8-static stylize -> encode -> disk jpg",
+        "images_out": n_out,
+        "seconds_warm": round(t_warm, 2),
+        "seconds_cold_incl_compile": round(t_cold, 2),
+        "style_bank_seconds": round(t_bank, 2),
+        "harness_device_to_host_MBps": round(down_mbs, 1),
+        "harness_note": (
+            "this dev harness reaches the TPU over a network tunnel; at "
+            f"{down_mbs:.0f} MB/s device->host, moving each ~38 MB stylized "
+            "u8 batch dominates wall-clock. On a real TPU host (PCIe) the "
+            "bound is the 1-core JPEG codec (~90-100 img/s) and then the "
+            "device rate (bench.py)."
+        ),
+        "device_only_img_per_sec": "see BENCH JSON (bench.py)",
+        "vs_baseline_75.9": round(n_out / t_warm / 75.9, 2),
+    }
+    with open(os.path.join(REPO, "BENCH_E2E.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,16 +8,23 @@ VMEM*, and computes the conv as nine shifted (Th*W, Cin) x (Cin, Cout) MXU
 matmuls accumulated in fp32, then applies bias (+ReLU) and writes the output
 tile once.
 
-MEASURED RESULT (v5e, bf16, batch 8, vs XLA pad+conv+relu):
+MEASURED RESULT, round 1 (v5e, bf16, batch 8, vs XLA pad+conv+relu):
     256x256 128->128: XLA 41.3 TF | pallas 34.9 TF
     128x128 256->256: XLA 48.5 TF | pallas 47.9 TF
      64x64  512->512: XLA 50.4 TF | pallas 50.8 TF
-XLA's conv emitter already reaches ~50 TF at these shapes with the explicit
-pad, so this kernel only ties it; and Mosaic's sliced-DMA alignment
-(last dim multiple of 128) rejects the 64-channel layers where pad traffic
-is largest. The production stylize path therefore keeps XLA pad+conv; this
-kernel stays as a correct, tested alternative and the starting point for a
-future pipelined (double-buffered DMA) revision.
+
+ROUND-2 VERDICT — RETIRED from the production roadmap. Better measurements
+(benchmarks/micro_conv.py, two-point device loops at batch 8) show XLA's
+SAME-conv emitter reaches 110-238 TF bf16 at the real pipeline shapes and
+260-520 TOPs in int8 — the round-1 "XLA ~50 TF" readings that motivated
+this kernel were noise-dominated (sub-3ms signals on the tunnel measure
+unreliably; see docs/STATUS.md methodology note). A hand kernel peaking at
+~51 TF cannot compete with that emitter; the production path instead won
+by changing the PROBLEM (packed space-to-depth formulation + int8 static
+quantization, models/vgg_fast.py: 448 -> 956 img/s). The kernel remains
+correct and tested (tests/test_kernels.py) as the reference
+implementation of manual-DMA reflect-halo construction, which the planned
+fused level-1-stage kernel will reuse.
 
 Edge handling: the slab's DMA start row is ``clamp(t*Th - 1, 0, H-(Th+2))``,
 so the first tile's slab is shifted +1 and the last tile's -1 relative to

@@ -162,15 +162,17 @@ class StylizeEngine:
         self._stylize_multi_fn = _stylize_multi
         self._style_stats_fn = _style_stats
 
-    def calibrate(self, images, style_stats: Sequence[Tuple]) -> None:
+    def calibrate(self, images, style_stats: Sequence[Tuple], max_images: int = 8) -> None:
         """int8-static: one reference-path pass over representative content
-        and the style bank, then rebuild the quantized executors."""
+        and the style bank, then rebuild the quantized executors. The
+        calibration pass runs in float32, so it is capped at ``max_images``
+        (a 48-image 512px batch would need ~3 GB per level-1 tensor)."""
         from ccst_tpu.models import vgg_fast
 
         if self.engine != "int8-static":
             return
         scales = vgg_fast.calibrate_scales(
-            self.enc, self.dec, jnp.asarray(images),
+            self.enc, self.dec, jnp.asarray(images[:max_images]),
             [(jnp.asarray(m), jnp.asarray(s)) for m, s in style_stats],
         )
         self._build(self.enc, self.dec, scales)

@@ -169,3 +169,18 @@ def test_metrics_image_and_histogram_summaries(tmp_path):
     assert img["shape"] == [8, 8, 3] and img["step"] == 3
     h = next(r for r in recs if r["event"] == "histogram")
     assert sum(h["counts"]) == 100 and h["max"] == 99.0
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """Orbax checkpoint round-trip (optional backend; msgpack is default)."""
+    import numpy as np
+    import pytest as _pytest
+    from ccst_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    _pytest.importorskip("orbax.checkpoint")
+    payload = {"params": {"w": np.arange(6.0).reshape(2, 3)}, "a_iter": np.int32(7)}
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint(path, payload, backend="orbax")
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], payload["params"]["w"])
+    assert int(back["a_iter"]) == 7
