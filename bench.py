@@ -60,7 +60,8 @@ def main() -> None:
     from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    batch = 32
+    batch = 64  # measured: b64 -> ~1050 img/s vs b32 -> ~960 (XLA per-op
+    # overheads amortize; benchmarks/fused_step_ab.py)
     size = 512
     n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)

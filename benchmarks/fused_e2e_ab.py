@@ -1,0 +1,94 @@
+"""A/B: int8-static engine with/without fused level-1 Pallas stages.
+
+Full encoder, full decoder, and the production multi-style step at 512px
+b32 — the same harness that produced the q8s_profile numbers (mean-based
+chain dependency; XLA cannot eliminate the measured work)."""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccst_tpu.models import vgg, vgg_fast
+from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+
+B = 32
+
+
+def timeit(fn, x, n1=3, n2=12):
+    @jax.jit
+    def chain(x, iters):
+        def body(_, v):
+            out = fn(v)
+            return v + (jnp.mean(out.astype(jnp.float32)) * 1e-12).astype(v.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def run(iters):
+        t0 = time.perf_counter()
+        jax.device_get(jnp.sum(chain(x, jnp.asarray(iters)).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    run(2)
+    ts = []
+    for _ in range(5):
+        t1, t2 = run(n1), run(n2)
+        ts.append((t2 - t1) / (n2 - n1) * 1e3)
+    return round(float(np.median(ts)), 2)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
+    scales = {k: 4.0 for k in list(vgg_fast._ENC_NEXT) + list(vgg_fast._DEC_NEXT)}
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+
+    img = jnp.asarray(rng.random((B, 512, 512, 3), np.float32), jnp.bfloat16)
+    feat = jnp.asarray(rng.random((B, 64, 64, 512), np.float32), jnp.bfloat16)
+    s_means = jnp.asarray(rng.standard_normal((3, 512)).astype(np.float32) * 0.1)
+    s_stds = jnp.asarray(rng.random((3, 512)).astype(np.float32) * 0.5 + 0.5)
+
+    res = {}
+    res["enc_unfused_ms"] = timeit(lambda v: vgg_fast.apply_encoder_q8s(eq, v), img)
+    print(json.dumps(res), flush=True)
+    for ht in (16, 32):
+        res[f"enc_fused_ht{ht}_ms"] = timeit(
+            lambda v, ht=ht: vgg_fast.apply_encoder_q8s_fused(eq, v, ht=ht), img)
+        print(json.dumps(res), flush=True)
+    res["dec_unfused_ms"] = timeit(lambda v: vgg_fast.apply_decoder_q8s(dq, v), feat)
+    print(json.dumps(res), flush=True)
+    for ht in (16, 32):
+        res[f"dec_fused_ht{ht}_ms"] = timeit(
+            lambda v, ht=ht: vgg_fast.apply_decoder_q8s_fused(dq, v, ht=ht), feat)
+        print(json.dumps(res), flush=True)
+
+    def multi(encode, decode):
+        def step(x):
+            f = encode(x)
+
+            def one(stats):
+                m, s = stats
+                t = adain_from_stats(f, m, s)
+                t = alpha_blend(t, f, jnp.asarray(1.0, t.dtype))
+                return decode(t)
+
+            return jax.lax.map(one, (s_means, s_stds))[0].astype(x.dtype)
+
+        return step
+
+    for tag, st in [
+        ("step_unfused", multi(lambda x: vgg_fast.apply_encoder_q8s(eq, x),
+                               lambda t: vgg_fast.apply_decoder_q8s(dq, t))),
+        ("step_fused", multi(lambda x: vgg_fast.apply_encoder_q8s_fused(eq, x, ht=16),
+                             lambda t: vgg_fast.apply_decoder_q8s_fused(dq, t, ht=16))),
+    ]:
+        ms = timeit(st, img)
+        res[tag + "_ms"] = ms
+        res[tag + "_img_per_sec"] = round(B * 3 / ms * 1e3, 1)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Full multi-style step: int8-static vs int8-fused, batch 32 and 64.
+Plus the decoder-only fused/unfused pair (mean-dependency harness)."""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccst_tpu.models import vgg, vgg_fast
+from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+
+
+def timeit(fn, x, n1=3, n2=12):
+    @jax.jit
+    def chain(x, iters):
+        def body(_, v):
+            out = fn(v)
+            return v + (jnp.mean(out.astype(jnp.float32)) * 1e-12).astype(v.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def run(iters):
+        t0 = time.perf_counter()
+        jax.device_get(jnp.sum(chain(x, jnp.asarray(iters)).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    run(2)
+    ts = []
+    for _ in range(5):
+        t1, t2 = run(n1), run(n2)
+        ts.append((t2 - t1) / (n2 - n1) * 1e3)
+    return round(float(np.median(ts)), 2)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
+    scales = {k: 4.0 for k in list(vgg_fast._ENC_NEXT) + list(vgg_fast._DEC_NEXT)}
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+    s_means = jnp.asarray(rng.standard_normal((3, 512)).astype(np.float32) * 0.1)
+    s_stds = jnp.asarray(rng.random((3, 512)).astype(np.float32) * 0.5 + 0.5)
+    res = {}
+
+    feat = jnp.asarray(rng.random((32, 64, 64, 512), np.float32), jnp.bfloat16)
+    res["dec_unfused_b32_ms"] = timeit(lambda v: vgg_fast.apply_decoder_q8s(dq, v), feat)
+    print(json.dumps(res), flush=True)
+    res["dec_fused_b32_ms"] = timeit(
+        lambda v: vgg_fast.apply_decoder_q8s_fused(dq, v, ht=16), feat)
+    print(json.dumps(res), flush=True)
+
+    def multi(encode, decode):
+        def step(x):
+            f = encode(x)
+
+            def one(stats):
+                m, s = stats
+                t = adain_from_stats(f, m, s)
+                t = alpha_blend(t, f, jnp.asarray(1.0, t.dtype))
+                return decode(t)
+
+            return jax.lax.map(lambda ms: one(ms), (s_means, s_stds))[0].astype(x.dtype)
+
+        return step
+
+    for b in (32, 64):
+        img = jnp.asarray(rng.random((b, 512, 512, 3), np.float32), jnp.bfloat16)
+        for tag, st in [
+            (f"step_unfused_b{b}", multi(lambda x: vgg_fast.apply_encoder_q8s(eq, x),
+                                         lambda t: vgg_fast.apply_decoder_q8s(dq, t))),
+            (f"step_fused_b{b}", multi(lambda x: vgg_fast.apply_encoder_q8s_fused(eq, x, ht=16),
+                                       lambda t: vgg_fast.apply_decoder_q8s_fused(dq, t, ht=16))),
+        ]:
+            ms = timeit(st, img)
+            res[tag + "_ms"] = ms
+            res[tag + "_imgps"] = round(b * 3 / ms * 1e3, 1)
+            print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

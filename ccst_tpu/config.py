@@ -97,7 +97,7 @@ class StylizeConfig:
     vgg_weights: str = ""             # path to vgg params (.pth or .npz); "" = random
     decoder_weights: str = ""
     dtype: str = "bfloat16"           # compute dtype; stats always float32
-    engine: str = "ref"               # executor: ref|packed|int8|int8-static
+    engine: str = "ref"               # executor: ref|packed|int8|int8-static|int8-fused
     save_ext: str = ""                # "" = keep original extension
     skip_existing: bool = False       # idempotent reruns: skip done outputs
 

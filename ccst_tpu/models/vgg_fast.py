@@ -410,50 +410,74 @@ def calibrate_scales(
     recording max|input| of every conv. Keyed by the conv whose INPUT the
     scale quantizes; scales are per-tensor, weights stay per-channel.
     Packing is a permutation, so calibrating on the unpacked path is exact
-    for the packed layers too."""
+    for the packed layers too.
+
+    The whole pass runs as ONE jitted program (the original eager version
+    dispatched ~27 separately-compiled layer programs — minutes of compile
+    over a remote-compile tunnel for a one-off calibration)."""
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    scales: Dict[str, float] = {}
-
-    def rec(name, x):
-        scales[name] = max(
-            scales.get(name, 0.0), float(jnp.max(jnp.abs(x)))
-        )
-
-    x = images.astype(jnp.float32)
-    for layer in vgg.ENCODER_ARCH:
-        if isinstance(layer, vgg.Conv):
-            if layer.name != "conv0":
-                rec(layer.name, x)
-                x = vgg.conv2d(vgg.reflect_pad(x, 1),
-                               enc_params[layer.name]["w"],
-                               enc_params[layer.name]["b"])
-                if layer.relu:
-                    x = jax.nn.relu(x)
-                if layer.name == "conv4_1":
-                    break
-            else:
-                x = vgg.conv2d(x, enc_params["conv0"]["w"], enc_params["conv0"]["b"])
-        elif isinstance(layer, vgg.Pool):
-            x = vgg.maxpool_ceil(x)
-    feat = x
     if style_stats is None:
-        style_stats = [(jnp.zeros((feat.shape[-1],)), jnp.ones((feat.shape[-1],)))]
-    for s_mean, s_std in style_stats:
-        t = adain_from_stats(feat, s_mean, s_std)
-        t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
-        y = t
-        for layer in vgg.DECODER_ARCH:
+        c = enc_params["conv4_1"]["b"].shape[0]
+        style_stats = [(jnp.zeros((c,)), jnp.ones((c,)))]
+    stats_arr = (
+        jnp.stack([jnp.asarray(m, jnp.float32) for m, _ in style_stats]),
+        jnp.stack([jnp.asarray(s, jnp.float32) for _, s in style_stats]),
+    )
+
+    @jax.jit
+    def _pass(images, stats):
+        scales: Dict[str, Array] = {}
+
+        def rec(name, x):
+            m = jnp.max(jnp.abs(x))
+            scales[name] = jnp.maximum(scales.get(name, 0.0), m)
+
+        x = images.astype(jnp.float32)
+        for layer in vgg.ENCODER_ARCH:
             if isinstance(layer, vgg.Conv):
-                rec(layer.name, y)
-                y = vgg.conv2d(vgg.reflect_pad(y, 1),
-                               dec_params[layer.name]["w"],
-                               dec_params[layer.name]["b"])
-                if layer.relu:
-                    y = jax.nn.relu(y)
-            elif isinstance(layer, vgg.Upsample):
-                y = vgg.upsample_nearest2x(y)
-    return scales
+                if layer.name != "conv0":
+                    rec(layer.name, x)
+                    x = vgg.conv2d(vgg.reflect_pad(x, 1),
+                                   enc_params[layer.name]["w"],
+                                   enc_params[layer.name]["b"])
+                    if layer.relu:
+                        x = jax.nn.relu(x)
+                    if layer.name == "conv4_1":
+                        break
+                else:
+                    x = vgg.conv2d(x, enc_params["conv0"]["w"], enc_params["conv0"]["b"])
+            elif isinstance(layer, vgg.Pool):
+                x = vgg.maxpool_ceil(x)
+        feat = x
+
+        def one_style(carry, ms):
+            s_mean, s_std = ms
+            t = adain_from_stats(feat, s_mean, s_std)
+            t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+            y = t
+            upd = {}
+            for layer in vgg.DECODER_ARCH:
+                if isinstance(layer, vgg.Conv):
+                    upd[layer.name] = jnp.max(jnp.abs(y))
+                    y = vgg.conv2d(vgg.reflect_pad(y, 1),
+                                   dec_params[layer.name]["w"],
+                                   dec_params[layer.name]["b"])
+                    if layer.relu:
+                        y = jax.nn.relu(y)
+                elif isinstance(layer, vgg.Upsample):
+                    y = vgg.upsample_nearest2x(y)
+            return {k: jnp.maximum(carry[k], v) for k, v in upd.items()}, 0.0
+
+        dec_names = [
+            l.name for l in vgg.DECODER_ARCH if isinstance(l, vgg.Conv)
+        ]
+        init = {k: jnp.asarray(0.0, jnp.float32) for k in dec_names}
+        dec_scales, _ = jax.lax.scan(one_style, init, stats)
+        scales.update(dec_scales)
+        return scales
+
+    return {k: float(v) for k, v in _pass(images, stats_arr).items()}
 
 
 _ENC_NEXT = {  # conv -> the conv consuming its output (requant target)
@@ -548,4 +572,64 @@ def apply_decoder_q8s(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
     # upsample folded into dconv1_2's summed kernel (sum_input_phases)
     xq = _qconv_s(xq, prep["dconv1_2"], True, dtype, "edge")
     y = _qconv_s(xq, prep["dconv1_1"], False, dtype, "edge")
+    return unpack_d2s(y, 3)
+
+
+# ---------------------------------------------------------------------------
+# int8-fused engine: int8-static with the level-1 stages in Pallas
+# ---------------------------------------------------------------------------
+#
+# Same math as apply_*_q8s (bit-exact — the fused kernels reproduce the
+# _qconv_s integer/float epilogue exactly; tests/test_kernels.py), but the
+# level-1 conv pairs run as single Pallas kernels that keep the ~512 MB
+# intermediates in VMEM (kernels/level1_pallas.py). Preparation is shared:
+# prepare_*_q8s output feeds both.
+
+
+def apply_encoder_q8s_fused(prep: Dict, images: Array, dtype=jnp.bfloat16,
+                            *, ht: int = 16, interpret: bool = False,
+                            zero_free: bool = True) -> Array:
+    """int8-e2e encoder with conv1_1+conv1_2+pool1 fused in Pallas."""
+    from ccst_tpu.kernels import level1_pallas
+
+    x = images.astype(dtype)
+    p0 = prep["conv0"]
+    x = vgg.conv2d(x, p0["w"], p0["b"])
+    xq = quantize_static(x, prep["__scales__"]["conv1_1"] / 127.0)
+    xq = pack_s2d(xq)
+    xq = level1_pallas.encoder_level1(
+        xq, prep["conv1_1"], prep["conv1_2"], ht=ht, interpret=interpret,
+        zero_free=zero_free,
+    )
+    pools_seen = 1
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv) and layer.name not in ("conv0", *_PACKED_ENC):
+            xq = _qconv_s(xq, prep[layer.name], layer.relu, dtype, "reflect")
+            if layer.name == "conv4_1":
+                return xq
+        elif isinstance(layer, vgg.Pool):
+            pools_seen += 1
+            if pools_seen > 2:  # pool1 fused into the Pallas stage
+                xq = vgg.maxpool_ceil(xq)
+    return xq
+
+
+def apply_decoder_q8s_fused(prep: Dict, feat: Array, dtype=jnp.bfloat16,
+                            *, ht: int = 16, interpret: bool = False) -> Array:
+    """int8-e2e decoder with dconv1_2(folded)+dconv1_1 fused in Pallas."""
+    from ccst_tpu.kernels import level1_pallas
+
+    global _DEC_MID
+    if _DEC_MID is None:
+        _DEC_MID = _dec_mid_layers()
+    xq = quantize_static(feat, prep["__scales__"]["dconv4_1"] / 127.0)
+    for layer in _DEC_MID:
+        if isinstance(layer, vgg.Conv):
+            xq = _qconv_s(xq, prep[layer.name], layer.relu, dtype, "reflect")
+        elif isinstance(layer, vgg.Upsample):
+            xq = vgg.upsample_nearest2x(xq)
+    y = level1_pallas.decoder_level1(
+        xq, prep["dconv1_2"], prep["dconv1_1"], ht=ht,
+        out_dtype=dtype, interpret=interpret,
+    )
     return unpack_d2s(y, 3)

@@ -65,6 +65,7 @@ class StylizeEngine:
       - ``packed``       bf16, space-to-depth level-1 stage, exact          (454 img/s)
       - ``int8``         dynamic per-tensor int8 quantization               (616 img/s)
       - ``int8-static``  int8 end-to-end with calibrated static scales      (715 img/s)
+      - ``int8-fused``   int8-static + fused level-1 Pallas kernels (same outputs)
     ``int8-static`` self-calibrates on the first batch + style bank it sees
     (or call :meth:`calibrate` explicitly with representative data).
     """
@@ -85,14 +86,14 @@ class StylizeEngine:
         self.output_size = output_size
         self.output_u8 = output_u8
         self.engine = engine
-        self._needs_calibration = engine == "int8-static"
+        self._needs_calibration = engine in ("int8-static", "int8-fused")
         self._build(encoder_params, decoder_params, scales=None)
 
     def _build(self, encoder_params, decoder_params, scales) -> None:
         from ccst_tpu.models import vgg_fast
 
         kind = self.engine
-        if kind == "int8-static" and scales is None:
+        if kind in ("int8-static", "int8-fused") and scales is None:
             kind = "ref"  # until calibrated
         if kind == "ref":
             encode = lambda x: vgg.apply_encoder(self.enc, x)
@@ -111,6 +112,17 @@ class StylizeEngine:
             ep = vgg_fast.prepare_encoder_q8s(self.enc, scales)
             dp = vgg_fast.prepare_decoder_q8s(self.dec, scales)
             encode = lambda x: vgg_fast.apply_encoder_q8s(ep, x, self.dtype)
+            decode = lambda t: vgg_fast.apply_decoder_q8s(dp, t, self.dtype)
+        elif kind == "int8-fused":
+            # int8-static with the encoder level-1 stage as a fused Pallas
+            # kernel (kernels/level1_pallas.py, zero-free conv1_2);
+            # bit-identical outputs to int8-static (tests/test_kernels.py).
+            # The decoder keeps the unfused XLA chain: its fused kernel
+            # measured slower (dconv1_1's 12-lane output starves the MXU —
+            # benchmarks/fused_step_ab.py).
+            ep = vgg_fast.prepare_encoder_q8s(self.enc, scales)
+            dp = vgg_fast.prepare_decoder_q8s(self.dec, scales)
+            encode = lambda x: vgg_fast.apply_encoder_q8s_fused(ep, x, self.dtype)
             decode = lambda t: vgg_fast.apply_decoder_q8s(dp, t, self.dtype)
         else:
             raise ValueError(f"unknown stylize engine {self.engine!r}")
@@ -169,7 +181,7 @@ class StylizeEngine:
         (a 48-image 512px batch would need ~3 GB per level-1 tensor)."""
         from ccst_tpu.models import vgg_fast
 
-        if self.engine != "int8-static":
+        if self.engine not in ("int8-static", "int8-fused"):
             return
         scales = vgg_fast.calibrate_scales(
             self.enc, self.dec, jnp.asarray(images[:max_images]),

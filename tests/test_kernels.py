@@ -107,3 +107,94 @@ def test_channel_moments_feeds_welford(rng):
     np.testing.assert_allclose(
         np.asarray(bank_std), np.sqrt(flat.var(0) + 1e-5), rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# fused level-1 stage kernels (kernels/level1_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def _q8s_params():
+    from ccst_tpu.models import vgg, vgg_fast
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
+    scales = {k: 4.0 for k in list(vgg_fast._ENC_NEXT) + list(vgg_fast._DEC_NEXT)}
+    return (
+        vgg_fast.prepare_encoder_q8s(enc, scales),
+        vgg_fast.prepare_decoder_q8s(dec, scales),
+    )
+
+
+def test_encoder_level1_fused_bit_exact(rng):
+    """Fused conv1_1+conv1_2+phase-max == the unfused _qconv_s chain, bit
+    for bit (same int32 accumulation, f32 epilogue, monotone max/rint swap)."""
+    from ccst_tpu.kernels import level1_pallas as L1
+    from ccst_tpu.models import vgg_fast
+
+    eq, _ = _q8s_params()
+    x = jnp.asarray(rng.integers(-127, 128, (2, 16, 16, 12)), jnp.int8)
+    ref = vgg_fast._qconv_s(x, eq["conv1_1"], True, jnp.bfloat16, "edge")
+    ref = vgg_fast._qconv_s(ref, eq["conv1_2"], True, jnp.bfloat16, "edge")
+    ref = vgg_fast.phase_max(ref, 64)
+    for k_slice in (True, False):
+        got = L1.fused_two_conv(
+            x, eq["conv1_1"].wq, eq["conv1_1"].k, eq["conv1_1"].kb,
+            eq["conv1_2"].wq, eq["conv1_2"].k, eq["conv1_2"].kb,
+            ht=8, pool_groups=4, out_dtype=jnp.int8,
+            interpret=True, k_slice=k_slice,
+        )
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_decoder_level1_fused_bit_exact(rng):
+    from ccst_tpu.kernels import level1_pallas as L1
+    from ccst_tpu.models import vgg_fast
+
+    _, dq = _q8s_params()
+    y = jnp.asarray(rng.integers(-127, 128, (2, 16, 16, 64)), jnp.int8)
+    ref = vgg_fast._qconv_s(y, dq["dconv1_2"], True, jnp.bfloat16, "edge")
+    ref = vgg_fast._qconv_s(ref, dq["dconv1_1"], False, jnp.bfloat16, "edge")
+    got = L1.decoder_level1(y, dq["dconv1_2"], dq["dconv1_1"], ht=8, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    )
+
+
+def test_fused_engine_matches_q8s_end_to_end(rng):
+    """apply_*_q8s_fused == apply_*_q8s through the full encoder/decoder."""
+    from ccst_tpu.models import vgg, vgg_fast
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    scales = vgg_fast.calibrate_scales(enc, dec, img)
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+    f_ref = vgg_fast.apply_encoder_q8s(eq, img)
+    f_fus = vgg_fast.apply_encoder_q8s_fused(eq, img, ht=8, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(f_ref, np.float32), np.asarray(f_fus, np.float32)
+    )
+    d_ref = vgg_fast.apply_decoder_q8s(dq, f_ref)
+    d_fus = vgg_fast.apply_decoder_q8s_fused(dq, f_ref, ht=8, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(d_ref, np.float32), np.asarray(d_fus, np.float32)
+    )
+
+
+def test_fused_two_conv_rejects_bad_tiles():
+    from ccst_tpu.kernels import level1_pallas as L1
+
+    eq, _ = _q8s_params()
+    x = jnp.zeros((1, 20, 20, 12), jnp.int8)
+    try:
+        L1.fused_two_conv(
+            x, eq["conv1_1"].wq, eq["conv1_1"].k, eq["conv1_1"].kb,
+            eq["conv1_2"].wq, eq["conv1_2"].k, eq["conv1_2"].kb,
+            ht=8, pool_groups=4, interpret=True,
+        )
+        raise AssertionError("expected ValueError for H % ht != 0")
+    except ValueError:
+        pass
