@@ -15,6 +15,13 @@ Layout: NHWC features, grid over (N, C/TC); each program handles the full
 reductions over (H, W) are sublane reductions the VPU does natively.
 Statistics in float32 regardless of the feature dtype; unbiased (ddof=1)
 variance to match ``calc_mean_std`` (function.py:9).
+
+STATUS — measured NEGATIVE, not wired into production: at the production
+shape ((64, 64, 64, 512) relu4_1 features) the XLA graph runs 1.85 ms vs
+2.13 ms for this kernel (v5e, benchmarks/pallas_ab.py) — XLA's own
+reduce+normalize fusion is already single-pass here. Kept as a tested
+reference kernel (tests/test_kernels.py); production AdaIN stays
+ccst_tpu.ops.adain.
 """
 from __future__ import annotations
 

@@ -5,6 +5,11 @@ feature batch in one HBM read — the device-side inner loop of the style-bank
 stage (replacing the XLA mean + centered-square + sum chain with one fused
 reduction). Output merges into the host-side Welford state
 (ccst_tpu.ops.welford) via Chan's formula.
+
+STATUS — measured NEGATIVE, not wired into production: at the production
+shape the XLA chain runs 1.35 ms vs 1.58 ms for this kernel (v5e,
+benchmarks/pallas_ab.py). Kept as a tested reference kernel; the style-bank
+stage stays on ccst_tpu.ops.welford.
 """
 from __future__ import annotations
 
