@@ -360,6 +360,18 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    from ccst_tpu.utils.plotting import plot_runs
+
+    out = plot_runs(
+        args.logs, args.out,
+        metrics=args.metrics.split(",") if args.metrics else None,
+        title=args.title,
+    )
+    print(out)
+    return 0
+
+
 def cmd_summarize(args) -> int:
     from ccst_tpu.utils.metrics import summarize_many
 
@@ -505,6 +517,15 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("logs", nargs="+")
     p.add_argument("--expected-rounds", type=int, default=None)
     p.set_defaults(fn=cmd_summarize)
+
+    p = sub.add_parser(
+        "plot", help="training-curve PNG from metrics JSONL (plotter.ipynb)"
+    )
+    p.add_argument("logs", nargs="+")
+    p.add_argument("-o", "--out", default="curves.png")
+    p.add_argument("--metrics", default="", help="comma-separated keys")
+    p.add_argument("--title", default=None)
+    p.set_defaults(fn=cmd_plot)
 
     args = parser.parse_args(argv)
     return args.fn(args)

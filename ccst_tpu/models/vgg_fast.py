@@ -34,7 +34,7 @@ int8 by PSNR bounds (tests/test_vgg_fast.py).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -586,19 +586,42 @@ def apply_decoder_q8s(prep: Dict, feat: Array, dtype=jnp.bfloat16) -> Array:
 # prepare_*_q8s output feeds both.
 
 
+def _auto_interpret(interpret):
+    """Pallas TPU kernels need interpret mode on non-TPU backends (the CPU
+    test mesh, debugging); resolve ``None`` to the backend default."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _pick_ht(hb: int, ht: int) -> Optional[int]:
+    """Row tile for the fused level-1 kernel: must divide the packed height
+    and be a multiple of 8 (DMA tile alignment). None -> caller falls back
+    to the unfused chain (odd sizes; production shapes always qualify)."""
+    for t in (ht, 16, 8):
+        if t % 8 == 0 and hb % t == 0:
+            return t
+    return None
+
+
 def apply_encoder_q8s_fused(prep: Dict, images: Array, dtype=jnp.bfloat16,
-                            *, ht: int = 16, interpret: bool = False,
+                            *, ht: int = 16, interpret: Optional[bool] = None,
                             zero_free: bool = True) -> Array:
     """int8-e2e encoder with conv1_1+conv1_2+pool1 fused in Pallas."""
     from ccst_tpu.kernels import level1_pallas
 
+    interpret = _auto_interpret(interpret)
+
     x = images.astype(dtype)
+    ht_eff = _pick_ht(images.shape[1] // 2, ht)
+    if ht_eff is None:
+        return apply_encoder_q8s(prep, images, dtype)
     p0 = prep["conv0"]
     x = vgg.conv2d(x, p0["w"], p0["b"])
     xq = quantize_static(x, prep["__scales__"]["conv1_1"] / 127.0)
     xq = pack_s2d(xq)
     xq = level1_pallas.encoder_level1(
-        xq, prep["conv1_1"], prep["conv1_2"], ht=ht, interpret=interpret,
+        xq, prep["conv1_1"], prep["conv1_2"], ht=ht_eff, interpret=interpret,
         zero_free=zero_free,
     )
     pools_seen = 1
@@ -615,9 +638,16 @@ def apply_encoder_q8s_fused(prep: Dict, images: Array, dtype=jnp.bfloat16,
 
 
 def apply_decoder_q8s_fused(prep: Dict, feat: Array, dtype=jnp.bfloat16,
-                            *, ht: int = 16, interpret: bool = False) -> Array:
+                            *, ht: int = 16, interpret: Optional[bool] = None) -> Array:
     """int8-e2e decoder with dconv1_2(folded)+dconv1_1 fused in Pallas."""
     from ccst_tpu.kernels import level1_pallas
+
+    interpret = _auto_interpret(interpret)
+
+    ht_eff = _pick_ht(feat.shape[1] * 4, ht)  # dconv2_1 output = 8x feat H
+    if ht_eff is None:
+        return apply_decoder_q8s(prep, feat, dtype)
+    ht = ht_eff
 
     global _DEC_MID
     if _DEC_MID is None:

@@ -91,3 +91,45 @@ def test_stylize_golden_production_shape():
     err = np.abs(out - golden)
     assert err.mean() / span < 2e-3, f"mean drift {err.mean()/span:.2e}"
     assert np.quantile(err, 0.999) / span < 2e-2
+
+
+def test_stylize_golden_int8_static():
+    """Drift anchor for the quantized engine: int8-static at 64px with
+    fixed weights/scales. The int8 path is integer-deterministic (int32
+    conv accumulation + f32 epilogue + rint), so this is compared tightly;
+    the fused Pallas engine must match it bit for bit."""
+    from ccst_tpu.models import vgg, vgg_fast
+
+    enc = vgg.init_params(jax.random.PRNGKey(42), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(43), vgg.DECODER_ARCH)
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    s_mean = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 0.05)
+    s_std = jnp.asarray(rng.random(512).astype(np.float32) * 0.1 + 0.02)
+    scales = vgg_fast.calibrate_scales(enc, dec, images, [(s_mean, s_std)])
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+    from ccst_tpu.ops.adain import adain_from_stats
+
+    feat = vgg_fast.apply_encoder_q8s(eq, images)
+    out = np.asarray(
+        vgg_fast.apply_decoder_q8s(dq, adain_from_stats(feat, s_mean, s_std)),
+        np.float32,
+    )
+    # fused engine == unfused, bit for bit
+    featf = vgg_fast.apply_encoder_q8s_fused(eq, images)
+    outf = np.asarray(
+        vgg_fast.apply_decoder_q8s_fused(dq, adain_from_stats(featf, s_mean, s_std)),
+        np.float32,
+    )
+    np.testing.assert_array_equal(out, outf)
+
+    path = os.path.join(GOLDEN_DIR, "stylize_64px_int8_static.npz")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, out=out.astype(np.float16))
+        pytest.skip("golden generated; rerun to compare")
+    golden = np.load(path)["out"].astype(np.float32)
+    span = float(golden.max() - golden.min()) or 1.0
+    err = np.abs(out - golden)
+    assert err.mean() / span < 2e-3, f"mean drift {err.mean()/span:.2e}"

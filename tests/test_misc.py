@@ -184,3 +184,28 @@ def test_checkpoint_orbax_backend(tmp_path):
     back = load_checkpoint(path)
     np.testing.assert_array_equal(back["params"]["w"], payload["params"]["w"])
     assert int(back["a_iter"]) == 7
+
+
+def test_plot_runs(tmp_path):
+    """plotter.ipynb equivalent: curves PNG from the metrics JSONL."""
+    from ccst_tpu.utils.metrics import MetricsLogger
+    from ccst_tpu.utils.plotting import plot_runs
+
+    paths = []
+    for run in range(2):
+        p = str(tmp_path / f"run{run}.jsonl")
+        log = MetricsLogger(p, echo=False)
+        for r in range(4):
+            log.log("round", round=r, val_acc_mean=0.5 + 0.1 * r + 0.02 * run,
+                    test_acc=0.4 + 0.1 * r, train_loss=1.0 - 0.2 * r)
+        log.close()
+        paths.append(p)
+    out = plot_runs(paths, str(tmp_path / "curves.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+    from ccst_tpu.cli import main as cli_main
+
+    assert cli_main(["plot", *paths, "-o", str(tmp_path / "cli.png")]) == 0
+    assert os.path.exists(tmp_path / "cli.png")

@@ -142,3 +142,44 @@ def test_stylize_engine_executor_selection(enc_dec, images):
     span = float(want.max() - want.min()) or 1.0
     psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
     assert psnr > 20.0, f"int8-static engine PSNR {psnr:.1f}"
+
+
+def test_stylize_engine_int8_fused_matches_static(rng):
+    """StylizeEngine('int8-fused') == StylizeEngine('int8-static') bit for
+    bit after identical calibration (the fused engine only changes HOW the
+    level-1 stage executes; off-TPU the Pallas kernel runs in interpret
+    mode automatically)."""
+    import jax
+
+    from ccst_tpu.models import vgg
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    s_mean = rng.standard_normal(512).astype(np.float32) * 0.05
+    s_std = (rng.random(512) * 0.1 + 0.02).astype(np.float32)
+
+    outs = {}
+    for kind in ("int8-static", "int8-fused"):
+        e = StylizeEngine(enc, dec, engine=kind)
+        e.calibrate(images, [(s_mean, s_std)])
+        outs[kind] = np.asarray(e.stylize(images, s_mean, s_std))
+    np.testing.assert_array_equal(outs["int8-static"], outs["int8-fused"])
+
+
+def test_fused_engine_odd_size_falls_back(rng):
+    """Sizes whose packed height defies the kernel's row-tile constraint
+    (e.g. 36px -> 18 rows) silently use the unfused chain."""
+    import jax
+
+    from ccst_tpu.models import vgg, vgg_fast
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = jnp.asarray(rng.random((1, 36, 36, 3)), jnp.float32)
+    scales = vgg_fast.calibrate_scales(enc, dec, images)
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    ref = vgg_fast.apply_encoder_q8s(eq, images)
+    got = vgg_fast.apply_encoder_q8s_fused(eq, images)  # falls back
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
