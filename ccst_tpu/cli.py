@@ -226,6 +226,8 @@ def cmd_invert_train(args) -> int:
         seed=args.seed,
         out_dir=args.out_dir,
         vgg_weights=args.vgg_weights,
+        loss=args.loss,
+        perc_weight=args.perc_weight,
     )
     best = train_inverter(cfg)
     print(json.dumps(best))
@@ -443,6 +445,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--loss", choices=["mse", "mse+perceptual"], default="mse",
+                   help="mse+perceptual = the LPIPS-criterion training "
+                        "variant (imagenet_reconstruct_lpips.py)")
+    p.add_argument("--perc-weight", type=float, default=0.1)
     p.set_defaults(fn=cmd_invert_train)
 
     p = sub.add_parser("invert-eval", help="PSNR/LPIPS of style-stat inversion")

@@ -284,3 +284,28 @@ class GanTrainer:
         z = jax.random.normal(key, (n, self.cfg.latent_dim))
         params = self.g_ema if ema else self.g_params
         return self.gen.apply({"params": params}, z)
+
+
+def save_augment_grid(images, out_path: str, key=None,
+                      policy: str = "color,translation,cutout") -> str:
+    """Visual check of the DiffAugment policies: writes a grid PNG with one
+    row per policy (first row unaugmented) — the counterpart of the
+    upstream's DiffAugmentTest (lightweight_gan/diff_augment_test.py:26-52),
+    which saves an augmentation grid for eyeballing."""
+    import numpy as np
+
+    from ccst_tpu.data.loader import save_image_u8
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = jnp.asarray(images, jnp.float32)
+    rows = [np.asarray(x)]
+    for pol in policy.split(","):
+        key, sub = jax.random.split(key)
+        rows.append(np.asarray(diff_augment(sub, x, pol.strip())))
+    n, h, w, c = rows[0].shape
+    grid = np.stack(rows).transpose(0, 2, 1, 3, 4).reshape(
+        len(rows) * h, n * w, c
+    )
+    save_image_u8(np.clip(grid, 0.0, 1.0), out_path)
+    return out_path

@@ -59,6 +59,8 @@ class InvertConfig:
     out_dir: str = "inverter"
     vgg_weights: str = ""
     eval_limit: int = 64          # images scored at eval
+    loss: str = "mse"             # "mse" | "mse+perceptual"
+    perc_weight: float = 0.1      # weight of the perceptual term
 
 
 def psnr(a: Array, b: Array, max_val: float = 1.0) -> Array:
@@ -141,7 +143,16 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
 
         def loss_fn(p):
             recon = model.apply({"params": p}, z, train=True)
-            return jnp.mean(jnp.square(recon - images))
+            l = jnp.mean(jnp.square(recon - images))
+            if cfg.loss == "mse+perceptual":
+                # the LPIPS-criterion training variant
+                # (imagenet_reconstruct_lpips.py differs from the plain
+                # template only in this term); perceptual_distance is the
+                # offline LPIPS analogue (module docstring)
+                l = l + cfg.perc_weight * jnp.mean(
+                    perceptual_distance(enc16, recon, images)
+                )
+            return l
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

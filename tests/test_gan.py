@@ -55,3 +55,19 @@ def test_gan_short_training_run(rng):
     imgs = trainer.generate(2)
     assert imgs.shape == (2, 64, 64, 3)
     assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+
+
+def test_save_augment_grid(tmp_path, rng):
+    """DiffAugmentTest parity: the augmentation grid image is written and
+    has one row per policy plus the clean row."""
+    import os
+
+    from ccst_tpu.privacy.gan import save_augment_grid
+
+    imgs = rng.random((3, 16, 16, 3)).astype("float32")
+    out = save_augment_grid(imgs, str(tmp_path / "grid.png"))
+    assert os.path.exists(out)
+    from ccst_tpu.data.loader import load_image
+
+    grid = load_image(out, None)
+    assert grid.shape == (4 * 16, 3 * 16, 3)

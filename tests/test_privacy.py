@@ -104,3 +104,24 @@ def test_invert_train_and_eval(invert_dataset):
     assert os.path.isdir(report["recon_dir"])
     assert os.path.exists(os.path.join(report["recon_dir"], "recon_0.png"))
     assert os.path.exists(os.path.join(report["recon_dir"], "psnr_perceptual.npy"))
+
+
+def test_invert_train_perceptual_loss(invert_dataset):
+    """LPIPS-criterion training variant (imagenet_reconstruct_lpips.py):
+    same template, loss = MSE + w * perceptual distance."""
+    cfg = InvertConfig(
+        dataset="pacs",
+        source="art_painting",
+        list_root=invert_dataset,
+        data_root=invert_dataset,
+        image_size=32,
+        batch_size=4,
+        steps=12,
+        lr=1e-3,
+        out_dir=os.path.join(invert_dataset, "inv_perc"),
+        loss="mse+perceptual",
+        perc_weight=0.05,
+    )
+    best = train_inverter(cfg)
+    assert os.path.exists(best["checkpoint"])
+    assert np.isfinite(best["final_loss"])

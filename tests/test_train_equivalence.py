@@ -369,3 +369,86 @@ def test_training_equivalence_fedbn_digits():
     want = tserver.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
     got = np.asarray(server_params["Conv_0"]["kernel"])
     assert np.max(np.abs(got - want)) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# RSC (DG plugin) single-step equivalence — the update is deterministic
+# (utils/rsc_utils.py:32-75: percentile masks, no sampling), so the muted
+# logits and the resulting SGD step must track across frameworks
+# ---------------------------------------------------------------------------
+
+
+def torch_rsc_logits(model, x, y):
+    """utils/rsc_utils.py:32-75 re-stated: feature-percentile mask,
+    prediction-change batch mask, muted logits."""
+    feats = model.avgpool(
+        _torch_features(model, x)
+    ).flatten(1)
+    feats.requires_grad_(True)
+    logits = model.fc(feats)
+    onehot = F.one_hot(y, N_CLASSES).float()
+    g = torch.autograd.grad((logits * onehot).sum(), feats, create_graph=False)[0]
+    pct_f = torch.tensor(
+        np.percentile(g.detach().numpy(), (1 - 1 / 3) * 100, axis=1)
+    ).unsqueeze(1)
+    mask_f = g.lt(pct_f).float()
+    logits_muted = model.fc(feats * mask_f)
+    s = F.softmax(logits, dim=1)
+    s_muted = F.softmax(logits_muted, dim=1)
+    changes = (s * onehot).sum(1) - (s_muted * onehot).sum(1)
+    pct_b = np.percentile(changes.detach().numpy(), (1 - 1 / 3) * 100)
+    mask_b = changes.lt(float(pct_b)).float().view(-1, 1)
+    mask = torch.logical_or(mask_f.bool(), mask_b.bool()).float()
+    return model.fc(feats * mask)
+
+
+def _torch_features(model, x):
+    h = model.maxpool(model.relu(model.bn1(model.conv1(x))))
+    for li in range(1, 5):
+        h = getattr(model, f"layer{li}")(h)
+    return h
+
+
+def test_rsc_step_equivalence(resnet_pair):
+    import copy
+
+    tmodel0, jmodel, state0 = resnet_pair
+    tmodel = copy.deepcopy(tmodel0)
+    rng = np.random.default_rng(7)
+    x = rng.random((BATCH, IMG, IMG, 3), np.float32)
+    y = rng.integers(0, N_CLASSES, BATCH).astype(np.int64)
+
+    # torch: one RSC step (CE on muted logits, SGD)
+    tmodel.train()
+    opt = torch.optim.SGD(tmodel.parameters(), lr=LR)
+    opt.zero_grad()
+    logits_t = torch_rsc_logits(
+        tmodel, torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(y)
+    )
+    loss_t = F.cross_entropy(logits_t, torch.from_numpy(y))
+    loss_t.backward()
+    opt.step()
+
+    # jax: the production RSC train step on the same batch
+    step = jax.jit(
+        make_train_step(
+            jmodel, n_classes=N_CLASSES, image_size=IMG, lr=LR,
+            dg_method="RSC", transform_on_device=False,
+        )
+    )
+    state = jax.tree.map(jnp.copy, state0)
+    batch = {
+        "images": jnp.asarray(x),
+        "labels": jnp.asarray(y, jnp.int32),
+        "mask": jnp.ones((BATCH,), jnp.float32),
+    }
+    new_state, m = step(
+        state, state0["params"], batch, jax.random.PRNGKey(0), jnp.asarray(0)
+    )
+
+    assert abs(float(m.loss) - float(loss_t.item())) < 1e-4, (
+        f"RSC loss: jax {float(m.loss):.6f} vs torch {float(loss_t):.6f}"
+    )
+    want = tmodel.state_dict()["conv1.weight"].detach().numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(new_state["params"]["conv1"]["kernel"])
+    assert np.max(np.abs(got - want)) < 5e-4
