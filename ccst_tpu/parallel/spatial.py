@@ -69,3 +69,48 @@ def make_spatial_stylize(mesh: Mesh, dtype=jnp.bfloat16):
         )
 
     return run
+
+
+def make_spatial_stylize_q8s(mesh: Mesh, enc_prep, dec_prep, dtype=jnp.bfloat16):
+    """Spatial (H-axis) sharding for the PRODUCTION int8-static executor
+    (models/vgg_fast.py): quantized weights replicated, images H-sharded,
+    XLA inserting the halo exchanges around every int8 conv. The integer
+    conv paths are exact; the only sharding-sensitive op is the AdaIN
+    content statistic (an f32 spatial reduction whose order changes), so
+    the sharded result matches one device to f32-reduction tolerance
+    (~1e-4; tested on the CPU mesh, tests/test_parallel.py).
+
+    Shard-size note: each device needs >=2 rows at the deepest level
+    (relu4_1 = H/8) — fewer trips an XLA SPMD halo-pad bug for int8 convs
+    (pad(s8, f32) type mismatch). Production sizes satisfy this (512px ->
+    64 relu4_1 rows).
+
+    ``enc_prep`` / ``dec_prep``: prepare_encoder_q8s / prepare_decoder_q8s
+    outputs (calibrated).
+    """
+    from ccst_tpu.models import vgg_fast
+
+    img_sharding = NamedSharding(mesh, P(None, "spatial", None, None))
+    repl = NamedSharding(mesh, P())
+
+    def stylize(images, s_mean, s_std, alpha):
+        feat = vgg_fast.apply_encoder_q8s(enc_prep, images, dtype)
+        t = adain_from_stats(feat, s_mean, s_std)
+        t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+        return vgg_fast.apply_decoder_q8s(dec_prep, t, dtype).astype(jnp.float32)
+
+    jitted = jax.jit(
+        stylize,
+        in_shardings=(img_sharding, repl, repl, repl),
+        out_shardings=img_sharding,
+    )
+
+    def run(images, s_mean, s_std, alpha=1.0):
+        images = jax.device_put(jnp.asarray(images), img_sharding)
+        return jitted(
+            images,
+            jnp.asarray(s_mean, jnp.float32), jnp.asarray(s_std, jnp.float32),
+            jnp.asarray(alpha, jnp.float32),
+        )
+
+    return run

@@ -229,3 +229,39 @@ def test_resnet50_param_sharding_model_axis(rng):
     g1 = np.asarray(grads_sh["conv1"]["kernel"])
     g2 = np.asarray(grads_ref["conv1"]["kernel"])
     np.testing.assert_allclose(g1, g2, atol=2e-4)
+
+
+def test_spatial_stylize_int8_static_bit_matches():
+    """The production int8-static executor under H-axis sharding: the
+    integer conv paths are exact; the AdaIN content statistic is an f32
+    spatial reduction whose order changes under sharding, so the match is
+    to f32-reduction tolerance rather than bitwise."""
+    import numpy as np
+
+    from ccst_tpu.models import vgg, vgg_fast
+    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+    from ccst_tpu.parallel.spatial import make_spatial_mesh, make_spatial_stylize_q8s
+
+    rng = np.random.default_rng(3)
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    s_mean = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 0.05)
+    s_std = jnp.asarray(rng.random(512).astype(np.float32) * 0.1 + 0.02)
+    scales = vgg_fast.calibrate_scales(enc, dec, images, [(s_mean, s_std)])
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+
+    feat = vgg_fast.apply_encoder_q8s(eq, images)
+    t = alpha_blend(adain_from_stats(feat, s_mean, s_std), feat,
+                    jnp.asarray(1.0, feat.dtype))
+    want = np.asarray(vgg_fast.apply_decoder_q8s(dq, t), np.float32)
+
+    # 4-way: at 64px the relu4_1 height is 8 — an 8-way shard leaves 1 row
+    # per device and trips an XLA SPMD halo-pad type bug for int8 convs
+    # (pad(s8, f32 constant)); >=2 rows per shard partitions cleanly, which
+    # production sizes satisfy at 8-way (512px -> 64 rows at relu4_1)
+    mesh = make_spatial_mesh(4)
+    run = make_spatial_stylize_q8s(mesh, eq, dq)
+    got = np.asarray(run(images, s_mean, s_std))
+    np.testing.assert_allclose(got, want, atol=5e-4)
