@@ -114,3 +114,38 @@ def make_spatial_stylize_q8s(mesh: Mesh, enc_prep, dec_prep, dtype=jnp.bfloat16)
         )
 
     return run
+
+
+def make_batch_stylize_q8s(mesh: Mesh, enc_prep, dec_prep, dtype=jnp.bfloat16,
+                           axis: str = "spatial"):
+    """Batch (data-parallel) sharding of the int8-static stylize step: each
+    device stylizes its slice of the content batch — the multi-chip
+    throughput mode (the spatial variant above is the large-image mode).
+    Per-image math has no cross-shard interaction, so the sharded result is
+    BIT-identical to one device (tested)."""
+    from ccst_tpu.models import vgg_fast
+
+    batch_sharding = NamedSharding(mesh, P(axis, None, None, None))
+    repl = NamedSharding(mesh, P())
+
+    def stylize(images, s_mean, s_std, alpha):
+        feat = vgg_fast.apply_encoder_q8s(enc_prep, images, dtype)
+        t = adain_from_stats(feat, s_mean, s_std)
+        t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
+        return vgg_fast.apply_decoder_q8s(dec_prep, t, dtype).astype(jnp.float32)
+
+    jitted = jax.jit(
+        stylize,
+        in_shardings=(batch_sharding, repl, repl, repl),
+        out_shardings=batch_sharding,
+    )
+
+    def run(images, s_mean, s_std, alpha=1.0):
+        images = jax.device_put(jnp.asarray(images), batch_sharding)
+        return jitted(
+            images,
+            jnp.asarray(s_mean, jnp.float32), jnp.asarray(s_std, jnp.float32),
+            jnp.asarray(alpha, jnp.float32),
+        )
+
+    return run

@@ -265,3 +265,32 @@ def test_spatial_stylize_int8_static_bit_matches():
     run = make_spatial_stylize_q8s(mesh, eq, dq)
     got = np.asarray(run(images, s_mean, s_std))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_batch_stylize_int8_static_bit_matches():
+    """Data-parallel (batch-sharded) int8 stylize: no cross-shard math, so
+    the 8-way result is BIT-identical to the single device."""
+    import numpy as np
+
+    from ccst_tpu.models import vgg, vgg_fast
+    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+    from ccst_tpu.parallel.spatial import make_batch_stylize_q8s, make_spatial_mesh
+
+    rng = np.random.default_rng(5)
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = jnp.asarray(rng.random((8, 32, 32, 3), np.float32))
+    s_mean = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 0.05)
+    s_std = jnp.asarray(rng.random(512).astype(np.float32) * 0.1 + 0.02)
+    scales = vgg_fast.calibrate_scales(enc, dec, images, [(s_mean, s_std)])
+    eq = vgg_fast.prepare_encoder_q8s(enc, scales)
+    dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+
+    feat = vgg_fast.apply_encoder_q8s(eq, images)
+    t = alpha_blend(adain_from_stats(feat, s_mean, s_std), feat,
+                    jnp.asarray(1.0, feat.dtype))
+    want = np.asarray(vgg_fast.apply_decoder_q8s(dq, t), np.float32)
+
+    run = make_batch_stylize_q8s(make_spatial_mesh(8), eq, dq)
+    got = np.asarray(run(images, s_mean, s_std))
+    np.testing.assert_array_equal(got, want)
