@@ -60,8 +60,13 @@ def main() -> None:
     from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    batch = 64  # measured: b64 -> ~1050 img/s vs b32 -> ~960 (XLA per-op
-    # overheads amortize; benchmarks/fused_step_ab.py)
+    # int8 batch from the measured sweep (962 @32, 1051 @64, 1066 @96,
+    # 1110 @128, 1036 @192 dip, 1107 @256 — XLA per-op overheads amortize;
+    # benchmarks/fused_step_ab.py + the bsweep probes). The bf16 comparator
+    # runs at 32: its level-1 tensors are 8x larger per image and b128
+    # would thrash HBM.
+    batch = 128
+    bf16_batch = 32
     size = 512
     n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
@@ -102,7 +107,9 @@ def main() -> None:
     )
 
     int8_rate = device_rate(int8_step, images, batch * n_styles)
-    bf16_rate = device_rate(bf16_step, images, batch * n_styles)
+    bf16_rate = device_rate(
+        bf16_step, images[:bf16_batch], bf16_batch * n_styles
+    )
 
     # in-run quality: int8 output vs the torch-parity bf16 executor
     featb = vgg.apply_encoder(enc, images[:4].astype(jnp.bfloat16))
