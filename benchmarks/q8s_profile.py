@@ -12,7 +12,7 @@ import numpy as np
 
 from ccst_tpu.models import vgg, vgg_fast
 
-B = 32
+B = 128
 
 
 def timeit(fn, x, n1=3, n2=12):
