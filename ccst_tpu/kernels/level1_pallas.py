@@ -47,8 +47,6 @@ stages; there is no reference analogue of the fusion itself (SURVEY §2.9).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -96,7 +94,7 @@ def _fused_two_conv_kernel(
     s_in, s_mid, sem,
     *,
     ht: int, wb: int, n_tiles: int, c_in: int, c_mid: int,
-    pool_groups: int, out_f32: Tuple[float, float] | None,
+    pool_groups: int, dequant_out: bool,
     k_slice: bool,
     zero_free: tuple | None = None,
 ):
@@ -169,7 +167,7 @@ def _fused_two_conv_kernel(
         return
     acc2 = _conv3x3_taps(s_mid, ht, wb, w2_ref)
 
-    if out_f32 is not None:
+    if dequant_out:
         # dequant epilogue (decoder tail: no relu, no requant)
         y = acc2.astype(jnp.float32) * k2_ref[0] + kb2_ref[0]
         out_ref[0] = y.astype(out_ref.dtype)
@@ -328,7 +326,7 @@ def fused_two_conv(
         _fused_two_conv_kernel,
         ht=ht, wb=wb, n_tiles=n_tiles, c_in=c_in, c_mid=c_mid,
         pool_groups=pool_groups,
-        out_f32=(0.0, 0.0) if is_f else None,
+        dequant_out=is_f,
         k_slice=k_slice,
         zero_free=zf_dots,
     )
