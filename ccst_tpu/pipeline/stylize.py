@@ -59,15 +59,16 @@ class StylizeEngine:
 
     Weights are cast once to the compute dtype and kept on device.
 
-    ``engine`` selects the executor (models/vgg_fast.py, measured on v5e at
-    512px batch 32, multi-style):
+    ``engine`` selects the executor (models/vgg_fast.py; v5e 512px
+    multi-style rates at batch 32, except as noted — docs/STATUS.md has the
+    full measurement history):
       - ``ref``          bf16 reference executor, <1e-3-MAE torch parity (454 img/s)
       - ``packed``       bf16, space-to-depth level-1 stage, exact          (454 img/s)
       - ``int8``         dynamic per-tensor int8 quantization               (616 img/s)
-      - ``int8-static``  int8 end-to-end with calibrated static scales      (715 img/s)
-      - ``int8-fused``   int8-static + fused level-1 Pallas kernels (same outputs)
-    ``int8-static`` self-calibrates on the first batch + style bank it sees
-    (or call :meth:`calibrate` explicitly with representative data).
+      - ``int8-static``  int8 e2e, calibrated static scales (956; **1110 at b128**)
+      - ``int8-fused``   int8-static + fused level-1 Pallas encoder (same outputs)
+    ``int8-static``/``int8-fused`` self-calibrate on the first batch +
+    style bank seen (or call :meth:`calibrate` with representative data).
     """
 
     def __init__(
