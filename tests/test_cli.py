@@ -125,3 +125,34 @@ def test_amp_bank_roundtrip(cli_dataset):
         root, "pacs", ["sketch"], max_per_domain=2, data_root=root, image_size=36
     )
     assert bank2.shape == (2, 3, 36, 36)
+
+
+def test_cli_stylize_int8_engine(cli_dataset, monkeypatch):
+    """The quantized production engine through the CLI (self-calibrating
+    int8-static; 36px content exercises the generic path — the fused engine
+    would fall back at this size, so int8-static is the meaningful one)."""
+    import ccst_tpu.config as cc
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DatasetSpec(
+            name="pacs", domains=tuple(DOMAINS), num_classes=2,
+            image_size=36, stylize_size=36,
+        )
+    )
+    root = cli_dataset
+    common = [
+        "--dataset", "pacs", "--list-root", root, "--data-root", root,
+        "--output-root", root,
+        "--style-stats-dir", os.path.join(root, "style_stats"),
+        "--image-size", "36", "--batch-size", "4",
+    ]
+    assert run_cli("style-bank", *common, "--target", "photo") == 0
+    assert run_cli(
+        "stylize", *common, "--target", "photo", "--mode", "overall",
+        "--engine", "int8-static",
+    ) == 0
+    out = os.path.join(
+        root, "PACS", "all_style_transferred_Overall", "photo",
+        "cartoon", "dog", "img0_cartoon.png",
+    )
+    assert os.path.exists(out)
