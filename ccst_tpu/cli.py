@@ -93,6 +93,45 @@ def cmd_style_bank(args) -> int:
     return 0
 
 
+def _load_scales_for(cfg):
+    """Resolve the int8 calibration artifact for a stylize run: an explicit
+    ``--scales PATH`` must exist; with no flag, the `calibrate` subcommand's
+    default path is picked up automatically when present (so
+    calibrate-then-stylize is deterministic without extra flags)."""
+    if cfg.engine not in ("int8-static", "int8-fused"):
+        return None
+    from ccst_tpu.models.vgg_fast import load_scales
+    from ccst_tpu.pipeline.stylize import scales_path_for
+
+    if cfg.scales:
+        return load_scales(cfg.scales)
+    default = scales_path_for(cfg)
+    if os.path.exists(default):
+        print(f"[info] loading int8 calibration from {default}")
+        return load_scales(default)
+    return None
+
+
+def cmd_calibrate(args) -> int:
+    """Compute and persist int8-static activation scales (deterministic:
+    first N train-list images + the style banks — pipeline/stylize.py
+    run_calibration documents the selection)."""
+    import jax.numpy as jnp
+
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.pipeline.stylize import StylizeEngine, run_calibration
+
+    cfg = _dataclass_from_args(StylizeConfig, args)
+    enc, dec = _load_engine_params(args)
+    engine = StylizeEngine(
+        enc, dec, dtype=jnp.dtype(cfg.dtype),
+        engine=cfg.engine if cfg.engine.startswith("int8") else "int8-static",
+    )
+    path = run_calibration(cfg, engine, max_images=args.max_images)
+    print(json.dumps({"scales_path": path, "n_scales": len(engine.scales)}))
+    return 0
+
+
 def cmd_stylize(args) -> int:
     import jax.numpy as jnp
 
@@ -105,10 +144,11 @@ def cmd_stylize(args) -> int:
 
     cfg = _dataclass_from_args(StylizeConfig, args)
     enc, dec = _load_engine_params(args)
+    scales = _load_scales_for(cfg)
     engine = StylizeEngine(
         enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size,
         output_u8=True,  # quantize on device: 4x less device->host traffic
-        engine=cfg.engine,
+        engine=cfg.engine, scales=scales,
     )
     run = run_single_transfer if cfg.mode.lower() == "single" else run_overall_transfer
     report = run(cfg, engine)
@@ -167,9 +207,22 @@ def cmd_amp_bank(args) -> int:
 
 def cmd_fed_train(args) -> int:
     from ccst_tpu.config import FedConfig
-    from ccst_tpu.federated.runtime import FederatedRunner
 
     cfg = _dataclass_from_args(FedConfig, args)
+    multiproc = bool(
+        cfg.coordinator
+        or cfg.num_procs > 1
+        or os.environ.get("CCST_COORDINATOR")
+    )
+    if multiproc:
+        # join the jax.distributed cluster BEFORE any backend use
+        from ccst_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=cfg.coordinator or None,
+            num_processes=cfg.num_procs if cfg.num_procs > 0 else None,
+            process_id=cfg.proc_id if cfg.proc_id >= 0 else None,
+        )
     amp_bank = None
     if cfg.dg_method.lower() == "feddg":
         from ccst_tpu.pipeline.amp_bank import load_amp_bank
@@ -177,7 +230,14 @@ def cmd_fed_train(args) -> int:
         amp_bank = load_amp_bank(
             args.list_root, cfg.dataset, cfg.source_domains, max_per_domain=64
         )
-    runner = FederatedRunner(cfg, amp_bank=amp_bank)
+    if multiproc:
+        from ccst_tpu.federated.multihost_runtime import MultihostFedRunner
+
+        runner = MultihostFedRunner(cfg, amp_bank=amp_bank)
+    else:
+        from ccst_tpu.federated.runtime import FederatedRunner
+
+        runner = FederatedRunner(cfg, amp_bank=amp_bank)
     result = runner.run()
     print(json.dumps(result))
     return 0
@@ -395,6 +455,13 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("stylize", help="cross-client style transfer")
     _add_dataclass_args(p, StylizeConfig)
     p.set_defaults(fn=cmd_stylize)
+
+    p = sub.add_parser(
+        "calibrate", help="persist int8-static calibration scales"
+    )
+    _add_dataclass_args(p, StylizeConfig)
+    p.add_argument("--max-images", type=int, default=8)
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("reorganize", help="materialize the unified training tree")
     for name, default in (

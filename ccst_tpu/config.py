@@ -98,6 +98,10 @@ class StylizeConfig:
     decoder_weights: str = ""
     dtype: str = "bfloat16"           # compute dtype; stats always float32
     engine: str = "ref"               # executor: ref|packed|int8|int8-static|int8-fused
+    scales: str = ""                  # persisted int8 calibration artifact
+                                      # ("" = auto: load the `calibrate`
+                                      # default path if present, else
+                                      # self-calibrate on the first batch)
     save_ext: str = ""                # "" = keep original extension
     skip_existing: bool = False       # idempotent reruns: skip done outputs
 
@@ -163,6 +167,12 @@ class FedConfig:
     parallel_clients: bool = False    # one vmapped step for ALL clients
     client_shards: int = 1            # mesh: client-axis size (1 = no mesh)
     data_shards: int = 1              # mesh: data-axis size
+    # multi-process (DCN) launch — jax.distributed cluster formation
+    # (federated/multihost_runtime.py; env fallbacks CCST_COORDINATOR /
+    # CCST_NUM_PROCS / CCST_PROC_ID)
+    coordinator: str = ""             # e.g. "host0:1357"; "" = single-process
+    num_procs: int = 0                # 0 = single-process (or env/TPU auto)
+    proc_id: int = -1                 # -1 = env/TPU auto
 
     @property
     def spec(self) -> DatasetSpec:

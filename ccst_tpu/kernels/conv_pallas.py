@@ -137,7 +137,7 @@ def reflect_conv3x3_fused(
         out_shape=jax.ShapeDtypeStruct((n, h, w_dim, cout), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec((9, cin, cout), lambda ni, ti: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda ni, ti: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -337,7 +337,7 @@ def fused_two_conv(
         kernel,
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x: manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual DMA
             pl.BlockSpec((9, c_w1, c_mid), lambda n, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_mid), lambda n, t: (0, 0), memory_space=pltpu.VMEM),

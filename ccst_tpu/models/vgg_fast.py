@@ -417,7 +417,7 @@ def calibrate_scales(
     over a remote-compile tunnel for a one-off calibration)."""
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    if style_stats is None:
+    if not style_stats:  # None or empty: unit-stats fallback
         c = enc_params["conv4_1"]["b"].shape[0]
         style_stats = [(jnp.zeros((c,)), jnp.ones((c,)))]
     stats_arr = (
@@ -478,6 +478,35 @@ def calibrate_scales(
         return scales
 
     return {k: float(v) for k, v in _pass(images, stats_arr).items()}
+
+
+def save_scales(path: str, scales: Dict[str, float]) -> str:
+    """Persist int8-static calibration scales (plain JSON: conv name ->
+    max|input| as float; exact double round-trip, so a reloaded engine is
+    bit-identical to the one that calibrated). Determinism closure for the
+    int8-static engine: without this, scales depend on whichever batch
+    arrives first (SURVEY §4 determinism stance)."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"format": "ccst_tpu/q8s_scales/v1", "scales": scales},
+                   f, indent=2, sort_keys=True)
+    _os.replace(tmp, path)
+    return path
+
+
+def load_scales(path: str) -> Dict[str, float]:
+    """Load scales written by :func:`save_scales`."""
+    import json as _json
+
+    with open(path) as f:
+        obj = _json.load(f)
+    if obj.get("format") != "ccst_tpu/q8s_scales/v1":
+        raise ValueError(f"{path}: not a ccst_tpu q8s scales artifact")
+    return {k: float(v) for k, v in obj["scales"].items()}
 
 
 _ENC_NEXT = {  # conv -> the conv consuming its output (requant target)

@@ -141,7 +141,15 @@ def make_batch_stylize_q8s(mesh: Mesh, enc_prep, dec_prep, dtype=jnp.bfloat16,
     )
 
     def run(images, s_mean, s_std, alpha=1.0):
-        images = jax.device_put(jnp.asarray(images), batch_sharding)
+        images = jnp.asarray(images)
+        n_shards = mesh.shape[axis]
+        if images.shape[0] % n_shards:
+            raise ValueError(
+                f"batch size {images.shape[0]} not divisible by the "
+                f"{n_shards}-device {axis!r} mesh axis; pad the batch or "
+                f"choose a divisible batch size"
+            )
+        images = jax.device_put(images, batch_sharding)
         return jitted(
             images,
             jnp.asarray(s_mean, jnp.float32), jnp.asarray(s_std, jnp.float32),

@@ -80,6 +80,7 @@ class StylizeEngine:
         output_size: int = -1,
         output_u8: bool = False,
         engine: str = "ref",
+        scales: Optional[Dict[str, float]] = None,
     ):
         self.dtype = jnp.dtype(dtype)
         self.enc = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), encoder_params)
@@ -87,8 +88,11 @@ class StylizeEngine:
         self.output_size = output_size
         self.output_u8 = output_u8
         self.engine = engine
-        self._needs_calibration = engine in ("int8-static", "int8-fused")
-        self._build(encoder_params, decoder_params, scales=None)
+        self.scales = scales  # persisted calibration (vgg_fast.load_scales)
+        self._needs_calibration = (
+            engine in ("int8-static", "int8-fused") and scales is None
+        )
+        self._build(encoder_params, decoder_params, scales=scales)
 
     def _build(self, encoder_params, decoder_params, scales) -> None:
         from ccst_tpu.models import vgg_fast
@@ -188,6 +192,7 @@ class StylizeEngine:
             self.enc, self.dec, jnp.asarray(images[:max_images]),
             [(jnp.asarray(m), jnp.asarray(s)) for m, s in style_stats],
         )
+        self.scales = scales
         self._build(self.enc, self.dec, scales)
         self._needs_calibration = False
 
@@ -219,6 +224,55 @@ class StylizeEngine:
     def style_stats_of(self, image: Array) -> Tuple[Array, Array]:
         """relu4_1 (mean, std) channel vectors of a single (1,H,W,3) image."""
         return self._style_stats_fn(image)
+
+
+# ---------------------------------------------------------------------------
+# Calibration persistence (int8-static determinism)
+# ---------------------------------------------------------------------------
+
+
+def scales_path_for(cfg: StylizeConfig) -> str:
+    """Default location of the persisted int8 calibration: next to the style
+    banks (``{style_stats_dir}/{dataset}/{target}_q8_scales.json``)."""
+    return os.path.join(
+        cfg.style_stats_dir, cfg.dataset.lower(), f"{cfg.target}_q8_scales.json"
+    )
+
+
+def run_calibration(
+    cfg: StylizeConfig, engine: StylizeEngine, max_images: int = 8
+) -> str:
+    """Deterministic offline calibration for the int8-static engines.
+
+    Batch selection is documented and reproducible: the FIRST ``max_images``
+    entries of the target's train list in list order (independent of loader
+    threading or batch size), plus every other domain's style bank. Writes
+    the scales artifact via :func:`vgg_fast.save_scales` and returns its
+    path; ``stylize --scales PATH`` (or the default path) then reloads it,
+    making stylized outputs bit-identical across runs and domain orderings.
+    """
+    from ccst_tpu.data.loader import load_image
+    from ccst_tpu.models import vgg_fast
+    from ccst_tpu.pipeline.style_bank import load_style_stats
+
+    spec = dataset_spec(cfg.dataset)
+    styles = [d for d in spec.domains if d != cfg.target]
+    names, _ = parse_list(train_list_path(cfg.list_root, cfg.dataset, cfg.target))
+    names = names[:max_images]
+    paths = [os.path.join(cfg.data_root, n) if cfg.data_root else n for n in names]
+    images = np.stack([load_image(p, cfg.image_size) for p in paths])
+
+    bank = []
+    for style in styles:
+        stats_path = os.path.join(
+            cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
+        )
+        if not os.path.exists(stats_path):
+            stats_path = stats_path[:-4] + ".npy"
+        bank.append(load_style_stats(stats_path))
+
+    engine.calibrate(images, bank, max_images=max_images)
+    return vgg_fast.save_scales(scales_path_for(cfg), engine.scales)
 
 
 # ---------------------------------------------------------------------------

@@ -42,13 +42,21 @@ class DecoderTrainConfig:
     vgg_weights: str = ""
     out_path: str = "decoder_trained.npz"
     log_every: int = 100
+    domains: str = ""               # comma-separated pool when content/style
+                                    # domain is "" (e.g. sources only, so the
+                                    # decoder never sees the held-out target)
 
 
 def _pooled_loader(cfg: DecoderTrainConfig, domain: str) -> ImageBatchLoader:
     from ccst_tpu.config import dataset_spec
 
     spec = dataset_spec(cfg.dataset)
-    domains = [domain] if domain else list(spec.domains)
+    if domain:
+        domains = [domain]
+    elif cfg.domains:
+        domains = [d.strip() for d in cfg.domains.split(",") if d.strip()]
+    else:
+        domains = list(spec.domains)
     names = []
     for d in domains:
         n, _ = parse_list(train_list_path(cfg.list_root, cfg.dataset, d))

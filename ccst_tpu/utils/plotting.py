@@ -55,9 +55,9 @@ def plot_runs(
     import matplotlib.pyplot as plt
 
     metrics = list(metrics) if metrics else list(_DEFAULT_METRICS)
-    labels = list(labels) if labels else [
-        os.path.splitext(os.path.basename(p))[0] for p in paths
-    ]
+    defaults = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    labels = list(labels) if labels else []
+    labels += defaults[len(labels):]  # pad short label lists per-run
     per_run = [read_rounds(p) for p in paths]
 
     panels = []

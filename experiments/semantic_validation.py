@@ -1,0 +1,255 @@
+"""End-to-end semantic validation of the CCST mechanism (VERDICT r2 #4/#2b).
+
+The pipeline's reason to exist — cross-client style sharing improves
+held-out-domain accuracy (the paper's central claim, reference README.md:1-4)
+— demonstrated offline on a synthetic domain-shift benchmark, since the real
+PACS/OfficeHome images cannot be downloaded in this environment.
+
+Benchmark design ("shapes4"): 4 classes (disk / square / cross / stripes)
+rendered identically in every domain; 4 domains that differ ONLY in style —
+foreground/background palette, contrast polarity, and texture noise. The
+held-out target's palette is outside the source convex hull (inverted
+luminance), so a classifier that entangles shape with source palettes loses
+accuracy on it; CCST's fix — stylizing every client's data into the other
+clients' styles (style-bank -> stylize -> reorganize -> gen-lists ->
+fed-train, the exact production chain, all through the public API) — makes
+clients train on each other's palettes and should close part of that gap.
+
+Because stylization needs a decoder that actually inverts the encoder, the
+chain first trains one (pipeline/train_decoder.py — the trainer the
+reference omits by downloading decoder.pth).
+
+Three arms, same seeds: no_fusion baseline, adain-overall-K3 with the bf16
+`ref` engine, and the same with the production `int8-static` engine — the
+third arm is the downstream-harmlessness evidence VERDICT r2 weak #2 asks
+for (int8 vs bf16 stylization must be statistically indistinguishable in
+target accuracy).
+
+Writes EXPERIMENT_SEMANTIC.json. Run: python experiments/semantic_validation.py
+(--quick for the CI-sized variant used by tests/test_semantic_validation.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+from typing import Dict, List
+
+import numpy as np
+
+DOMAINS = ["warm", "pale", "cool", "inverted"]  # target: inverted
+CLASSES = ["disk", "square", "cross", "stripes"]
+
+# per-domain (fg_rgb, bg_rgb, noise_amp): sources share moderate-brightness
+# palettes; the target is polarity-inverted and outside their hull
+_STYLES = {
+    "warm": ((0.85, 0.35, 0.20), (0.25, 0.15, 0.10), 0.03),
+    "pale": ((0.75, 0.75, 0.55), (0.45, 0.50, 0.55), 0.08),
+    "cool": ((0.25, 0.45, 0.85), (0.10, 0.15, 0.30), 0.05),
+    "inverted": ((0.10, 0.12, 0.15), (0.85, 0.88, 0.90), 0.12),
+}
+
+
+def _mask(cls: str, size: int, rng: np.random.Generator) -> np.ndarray:
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    cy, cx = rng.uniform(0.35, 0.65, 2)
+    r = rng.uniform(0.18, 0.30)
+    if cls == "disk":
+        return ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.float32)
+    if cls == "square":
+        return ((np.abs(yy - cy) < r) & (np.abs(xx - cx) < r)).astype(np.float32)
+    if cls == "cross":
+        w = r * 0.45
+        return (
+            ((np.abs(yy - cy) < w) & (np.abs(xx - cx) < r * 1.4))
+            | ((np.abs(xx - cx) < w) & (np.abs(yy - cy) < r * 1.4))
+        ).astype(np.float32)
+    # stripes: horizontal bars inside a square window
+    period = max(int(size * r * 0.7), 2)
+    bars = ((np.arange(size) // period) % 2).astype(np.float32)[:, None]
+    win = ((np.abs(yy - cy) < r * 1.3) & (np.abs(xx - cx) < r * 1.3))
+    return (bars * np.ones((1, size))) * win.astype(np.float32)
+
+
+def make_shapes_dataset(root: str, size: int, n_per_class: int, seed: int) -> None:
+    from ccst_tpu.data.lists import write_list
+    from ccst_tpu.data.loader import save_image_u8
+
+    for d in DOMAINS:
+        fg, bg, amp = _STYLES[d]
+        rng = np.random.default_rng(seed * 100 + DOMAINS.index(d))
+        names, labels = [], []
+        for ci, cls in enumerate(CLASSES):
+            for i in range(n_per_class):
+                m = _mask(cls, size, rng)[..., None]
+                img = m * np.asarray(fg) + (1 - m) * np.asarray(bg)
+                img = img + rng.normal(0, amp, img.shape)
+                rel = f"SHAPES4/kfold/{d}/{cls}/img{i:03d}.png"
+                save_image_u8(
+                    np.clip(img, 0, 1).astype(np.float32),
+                    os.path.join(root, rel),
+                )
+                names.append(rel)
+                labels.append(ci)
+        # train/test split: last quarter of each domain is test
+        n_test = max(len(names) // 4, 4)
+        write_list(
+            os.path.join(root, "txt_lists", "shapes4", f"{d}_train.txt"),
+            names[:-n_test], labels[:-n_test],
+        )
+        write_list(
+            os.path.join(root, "txt_lists", "shapes4", f"{d}_test.txt"),
+            names[-n_test:], labels[-n_test:],
+        )
+
+
+def _register(size: int) -> None:
+    import ccst_tpu.config as cc
+
+    cc.DATASETS["shapes4"] = cc.DatasetSpec(
+        name="shapes4", domains=tuple(DOMAINS), num_classes=len(CLASSES),
+        image_size=size, stylize_size=size,
+    )
+
+
+def _train_stylizer(root: str, size: int, steps: int):
+    """Train the mirror decoder against the fixed encoder on pooled source
+    images (target excluded: the decoder may not see the held-out domain).
+    The encoder is the same PRNGKey(0) init the rest of the chain uses."""
+    from ccst_tpu.models.convert import load_decoder
+    from ccst_tpu.pipeline.train_decoder import DecoderTrainConfig, train_decoder
+
+    cfg = DecoderTrainConfig(
+        dataset="shapes4", list_root=root, data_root=root,
+        image_size=size, batch_size=8, steps=steps, lr=2e-4,
+        out_path=os.path.join(root, "decoder_trained.npz"),
+        log_every=max(steps // 4, 1),
+        domains=",".join(DOMAINS[:-1]),
+    )
+    result = train_decoder(cfg)
+    return load_decoder(result["out_path"])
+
+
+def run_chain(
+    root: str, size: int, engine_kind: str, seed: int, enc, dec,
+) -> None:
+    """style-bank -> calibrate -> stylize -> reorganize -> gen-lists for every
+    source content domain, producing the adain-overall-K3 fusion lists for
+    target DOMAINS[-1]."""
+    import jax.numpy as jnp
+
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.data.lists import generate_k_lists, reorganize_unified_tree
+    from ccst_tpu.pipeline.style_bank import compute_style_bank
+    from ccst_tpu.pipeline.stylize import (
+        StylizeEngine, run_calibration, run_overall_transfer,
+    )
+
+    target = DOMAINS[-1]
+    base = dict(
+        dataset="shapes4", list_root=root, data_root=root, output_root=root,
+        style_stats_dir=os.path.join(root, "style_stats"),
+        image_size=size, batch_size=8, seed=seed,
+    )
+    for d in DOMAINS:
+        compute_style_bank(StylizeConfig(**base, target=d), d, encoder_params=enc)
+
+    for content in DOMAINS[:-1]:
+        cfg = StylizeConfig(**base, target=content, engine=engine_kind)
+        engine = StylizeEngine(
+            enc, dec, dtype=jnp.float32 if engine_kind == "ref" else jnp.bfloat16,
+            output_u8=True, engine=engine_kind,
+        )
+        if engine_kind.startswith("int8"):
+            run_calibration(cfg, engine, max_images=8)
+        run_overall_transfer(cfg, engine)
+
+    reorganize_unified_tree(root, "shapes4", target, "overall", data_root=root)
+    generate_k_lists(root, "shapes4", target, k=3, mode="overall", seed=seed)
+
+
+def run_fed(root: str, size: int, fusion_mode: str, seed: int, rounds: int) -> Dict:
+    from ccst_tpu.config import FedConfig
+    from ccst_tpu.federated.runtime import FederatedRunner
+
+    cfg = FedConfig(
+        dataset="shapes4", target=DOMAINS[-1], mode="fedavg",
+        fusion_mode=fusion_mode, network="resnet4", rounds=rounds,
+        batch_size=8, image_size=size, lr=0.03, seed=seed,
+        data_root=root, list_root=root,
+        save_path=os.path.join(root, f"ckpt_{fusion_mode}_{seed}"),
+        log_path=os.path.join(root, f"logs_{fusion_mode}_{seed}"),
+        save_freq=max(rounds, 1), min_scale=0.9,
+    )
+    runner = FederatedRunner(cfg)
+    return runner.run()  # {"val_acc_mean", "round", "test_acc"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="CI-sized smoke (1 seed, small data, few rounds)")
+    ap.add_argument("--out", default="EXPERIMENT_SEMANTIC.json")
+    ap.add_argument("--workdir", default="")
+    args = ap.parse_args()
+
+    size = 36
+    n_per_class = 8 if args.quick else 40
+    dec_steps = 30 if args.quick else 400
+    rounds = 2 if args.quick else 10
+    seeds = [1] if args.quick else [1, 2, 3]
+
+    import jax
+
+    from ccst_tpu.models import vgg
+
+    _register(size)
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+
+    results: Dict[str, List[Dict]] = {"no_fusion": [], "bf16": [], "int8": []}
+    workdir = args.workdir or tempfile.mkdtemp(prefix="ccst_semval_")
+    for seed in seeds:
+        arms = {}
+        for arm, engine_kind in (
+            ("no_fusion", None), ("bf16", "ref"), ("int8", "int8-static")
+        ):
+            root = os.path.join(workdir, f"{arm}_s{seed}")
+            make_shapes_dataset(root, size, n_per_class, seed=seed)
+            fusion = "no_fusion"
+            if engine_kind is not None:
+                dec = _train_stylizer(root, size, dec_steps)
+                run_chain(root, size, engine_kind, seed, enc, dec)
+                fusion = "adain-overall-K3"
+            best = run_fed(root, size, fusion, seed, rounds)
+            arms[arm] = best
+            results[arm].append({"seed": seed, **best})
+            print(f"[seed {seed}] {arm}: {best}")
+
+    def acc(arm):
+        return [r["test_acc"] for r in results[arm]]
+
+    summary = {
+        "benchmark": "shapes4 synthetic domain shift (target: inverted palette)",
+        "seeds": seeds,
+        "rounds": rounds,
+        "n_train_per_domain": n_per_class * len(CLASSES) * 3 // 4,
+        "per_arm": results,
+        "mean_test_acc": {a: float(np.mean(acc(a))) for a in results},
+        "ccst_gain_bf16_vs_no_fusion": float(
+            np.mean(acc("bf16")) - np.mean(acc("no_fusion"))
+        ),
+        "int8_vs_bf16_gap": float(
+            np.mean(acc("int8")) - np.mean(acc("bf16"))
+        ),
+        "per_seed_gain": [
+            b - n for b, n in zip(acc("bf16"), acc("no_fusion"))
+        ],
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,129 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _make_synth_pacs(root: str) -> None:
+    """Tiny on-disk PACS-shaped dataset (real domain names so the stock
+    `pacs` DatasetSpec applies in subprocesses — no monkeypatching)."""
+    import numpy as np
+
+    from ccst_tpu.data.lists import write_list
+    from ccst_tpu.data.loader import save_image_u8
+
+    rng = np.random.default_rng(7)
+    for d in ["art_painting", "cartoon", "photo", "sketch"]:
+        names, labels = [], []
+        for ci in range(2):
+            for i in range(4):
+                rel = f"PACS/kfold/{d}/cls{ci}/img{i}.png"
+                base = 0.3 + 0.4 * ci
+                save_image_u8(
+                    np.clip(rng.normal(base, 0.1, (36, 36, 3)), 0, 1).astype(
+                        np.float32
+                    ),
+                    os.path.join(root, rel),
+                )
+                names.append(rel)
+                labels.append(ci)
+        write_list(
+            os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"),
+            names, labels,
+        )
+        write_list(
+            os.path.join(root, "txt_lists", "pacs", f"{d}_test.txt"),
+            names[:3], labels[:3],
+        )
+
+
+def test_cli_multihost_fed_train(tmp_path):
+    """VERDICT r2 directive #3: a CLI-launched multi-process federated run.
+
+    3 jax.distributed processes (one per PACS source client, client axis on
+    the process/DCN boundary) run `fed-train --coordinator ... --num-procs 3
+    --proc-id K` for 2 rounds; all three must print the identical result
+    (cross-host agreement), only process 0 may write checkpoints/logs, and
+    the aggregated server params must match a single-process
+    `--parallel-clients` run of the same config bit-for-bit-close (the
+    multi-host path is the same vmapped step + weighted reduction, sharded
+    over DCN)."""
+    import json
+
+    import numpy as np
+
+    root = str(tmp_path)
+    _make_synth_pacs(root)
+    port = _free_port()
+
+    def fed_args(save, log):
+        return [
+            "-m", "ccst_tpu.cli", "fed-train",
+            "--dataset", "pacs", "--target", "photo",
+            "--network", "resnet4", "--rounds", "2", "--wk-iters", "1",
+            "--batch-size", "4", "--image-size", "36", "--lr", "0.05",
+            "--data-root", root, "--list-root", root,
+            "--save-path", os.path.join(root, save),
+            "--log-path", os.path.join(root, log),
+            "--save-freq", "1",
+        ]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable] + fed_args("ckpt_mh", "logs_mh") + [
+                "--coordinator", f"localhost:{port}",
+                "--num-procs", "3", "--proc-id", str(pid),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(3)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"rank failed:\nstdout={out}\nstderr={err[-3000:]}"
+        results.append(json.loads(out.splitlines()[-1]))
+    assert results[0] == results[1] == results[2], results
+
+    # single-writer: exactly one process produced checkpoint + log files
+    run_name = "pacs_photo_fedavg_no_fusion_no_DG_resnet4_seed1"
+    ck = os.path.join(root, "ckpt_mh", run_name + "_latest.ckpt")
+    assert os.path.exists(ck)
+    log_lines = open(
+        os.path.join(root, "logs_mh", run_name + ".jsonl")
+    ).read().splitlines()
+    rounds_logged = [
+        json.loads(l)["round"] for l in log_lines
+        if json.loads(l).get("event") == "round"
+    ]
+    assert rounds_logged == [0, 1], rounds_logged
+
+    # semantics: identical to the single-process client-parallel runner
+    sp = subprocess.run(
+        [sys.executable] + fed_args("ckpt_sp", "logs_sp")
+        + ["--parallel-clients"],
+        capture_output=True, env=env, text=True, timeout=540,
+    )
+    assert sp.returncode == 0, sp.stderr[-3000:]
+    from ccst_tpu.utils.checkpoint import load_checkpoint
+
+    mh = load_checkpoint(ck)
+    sh = load_checkpoint(
+        os.path.join(root, "ckpt_sp", run_name + "_latest.ckpt")
+    )
+    import jax
+
+    for a, b in zip(
+        jax.tree.leaves(mh["server"]), jax.tree.leaves(sh["server"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_two_process_fedavg_agrees():
     port = _free_port()
     env = dict(os.environ)
