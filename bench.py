@@ -201,16 +201,18 @@ def main() -> None:
                 "mae_int8_vs_torch_rel_span": None
                 if rel is None
                 else round(rel, 6),
-                # Roofline vs the >=2000 img/s north star (docs/STATUS.md):
-                # 169 GF/img multi-style at the measured 217 TF bf16 peak
-                # caps bf16 at ~1284 img/s at 100% MFU — bf16 CANNOT reach
-                # 2000. The int8 path at XLA's measured 75-350 TOPs conv mix
-                # rooflines at ~1500-1800; current value is ~81% of the
-                # bf16-peak-equivalent. The residual gap is XLA's int8 conv
-                # efficiency at 64-channel layers (measured; Pallas fusion
-                # ties it — benchmarks/, docs/STATUS.md round-2b).
+                # Roofline vs the >=2000 img/s north star — now settled by
+                # the round-3 per-layer measurement campaign
+                # (docs/WINOGRAD.md): int8 Winograd F(2,3) was built and
+                # measured DEAD on v5e (transforms alone cost 9x the conv;
+                # no int16 VPU subtract), the per-layer table shows the
+                # engine within ~1% of its measured ceiling, and literal
+                # 100%-MFU-everywhere plus the measured int8 elementwise
+                # floor caps one v5e chip at ~1870 img/s. 2000 needs a
+                # faster-int8 chip (v5p/v6e) or a smaller network.
                 "roofline_bf16_peak_img_per_sec": 1284,
-                "roofline_int8_mix_img_per_sec": "1500-1800",
+                "roofline_int8_100pct_mfu_img_per_sec": 1870,
+                "measured_per_layer_ceiling_img_per_sec": 1150,
             }
         )
     )

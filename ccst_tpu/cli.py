@@ -307,6 +307,8 @@ def cmd_invert_eval(args) -> int:
         seed=args.seed,
         out_dir=args.out_dir,
         vgg_weights=args.vgg_weights,
+        lpips_vgg=args.lpips_vgg,
+        lpips_lin=args.lpips_lin,
     )
     report = evaluate_inverter(cfg, target=args.target, overall=args.overall)
     print(json.dumps(report))
@@ -329,6 +331,7 @@ def cmd_gan_train(args) -> int:
         image_size=args.image_size, latent_dim=args.latent_dim,
         batch_size=args.batch_size, lr=args.lr, steps=args.steps,
         aug_policy=args.aug_policy, seed=args.seed, fmap_max=args.fmap_max,
+        gp_weight=args.gp_weight,
     )
     names, labels = parse_list(
         train_list_path(args.list_root, args.dataset, args.source)
@@ -345,7 +348,7 @@ def cmd_gan_train(args) -> int:
     it = iter(loader)
     for step in range(cfg.steps):
         batch = next(it)
-        metrics = trainer.train_step(batch.images)
+        metrics = trainer.train_step(batch.images, step_idx=step)
         if step % max(1, args.log_every) == 0:
             logger.log("gan_step", step=step, **metrics)
     save_checkpoint(
@@ -357,6 +360,18 @@ def cmd_gan_train(args) -> int:
     samples = _np.asarray(trainer.generate(4))
     for i, img in enumerate(samples):
         save_image_u8(img, os.path.join(args.out_dir, f"sample_{i}.png"))
+    if args.fid_samples > 0:
+        # FID-style closing metric (upstream calculate_fid counterpart):
+        # EMA samples vs a real batch in VGG feature space
+        from ccst_tpu.privacy.gan import vgg_frechet_distance
+
+        enc, _ = _load_engine_params(args)
+        n = args.fid_samples
+        real = _np.concatenate(
+            [next(it).images for _ in range((n + cfg.batch_size - 1) // cfg.batch_size)]
+        )[:n]
+        fake = _np.clip(_np.asarray(trainer.generate(n)), 0.0, 1.0)
+        metrics["fid_vgg"] = vgg_frechet_distance(enc, real, fake)
     logger.close()
     print(json.dumps({"steps": cfg.steps, "out_dir": args.out_dir, **metrics}))
     return 0
@@ -442,6 +457,14 @@ def cmd_summarize(args) -> int:
 
 
 def main(argv: Optional[list] = None) -> int:
+    if os.environ.get("CCST_PLATFORM"):
+        # Force the JAX platform (e.g. "cpu"). Needed where a site hook
+        # force-registers an accelerator plugin and overrides JAX_PLATFORMS
+        # (this dev image's axon sitecustomize does) — multi-process CPU
+        # launches (fed-train --num-procs) must not all grab the one TPU.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["CCST_PLATFORM"])
     parser = argparse.ArgumentParser(prog="ccst-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -523,6 +546,7 @@ def main(argv: Optional[list] = None) -> int:
         ("--dataset", "pacs", str), ("--source", "", str), ("--target", "", str),
         ("--list-root", "", str), ("--data-root", "", str),
         ("--out-dir", "inverter", str), ("--vgg-weights", "", str),
+        ("--lpips-vgg", "", str), ("--lpips-lin", "", str),
     ):
         p.add_argument(name, default=default, type=caster)
     p.add_argument("--image-size", type=int, default=256)
@@ -547,6 +571,12 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--aug-policy", default="color,translation,cutout")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gp-weight", type=float, default=0.0,
+                   help="R1 gradient penalty weight (upstream uses 10)")
+    p.add_argument("--fid-samples", type=int, default=0,
+                   help="N>0: closing VGG-Frechet distance on N samples")
+    p.add_argument("--vgg-weights", default="",
+                   help="encoder weights for --fid-samples")
     p.set_defaults(fn=cmd_gan_train)
 
     p = sub.add_parser("filter-blank", help="write _discardBlackWhite lists")

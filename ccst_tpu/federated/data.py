@@ -51,7 +51,13 @@ def _val_split(
     data/ImageLoader.py:13-28 with args.val_size=0.1)."""
     n = len(names)
     n_val = int(n * val_size)
-    rng = np.random.default_rng(seed + (hash(domain) % 100003))
+    # stable per-domain offset: builtin hash() is randomized per process
+    # (PYTHONHASHSEED), which silently gave every process its OWN train/val
+    # partition — caught by the multi-host cross-runner equality test
+    # (tests/test_multihost.py); crc32 is process-independent
+    import zlib
+
+    rng = np.random.default_rng(seed + (zlib.crc32(domain.encode()) % 100003))
     idx = rng.permutation(n)
     val_idx, train_idx = idx[:n_val], idx[n_val:]
     pick = lambda ix: ([names[i] for i in ix], [labels[i] for i in ix])

@@ -288,7 +288,11 @@ class MultihostFedRunner:
         return record
 
     def run(self) -> Dict[str, Any]:
-        for r in range(self.cfg.rounds):
+        if self.cfg.resume:
+            # every process reads the same checkpoint file (shared FS in a
+            # real deployment) -> identical resume state everywhere
+            self.inner.resume()
+        for r in range(self.inner.start_round, self.cfg.rounds):
             self.run_round(r)
         self.inner.logger.log("done", **self.inner.best)
         return dict(self.inner.best)

@@ -27,6 +27,7 @@ from ccst_tpu.models.layers import (
     InstanceNorm,
     MixStyle,
     StatFreeNorm,
+    TorchBatchNorm,
     avg_pool,
     global_avg_pool,
     kaiming_normal_fan_out,
@@ -41,13 +42,11 @@ JIGSAW_CLASSES = 31  # 30 permutations + "unshuffled" (nets/resnet.py:266)
 def make_norm(kind: str):
     """norm factory: 'bn' | 'in' | 'statfree'."""
     if kind == "bn":
-        return partial(
-            nn.BatchNorm,
-            momentum=0.9,
-            epsilon=1e-5,
-            scale_init=nn.initializers.ones,
-            bias_init=nn.initializers.zeros,
-        )
+        # TorchBatchNorm, not flax BatchNorm: torch parity of the RUNNING
+        # variance (unbiased update — see models/layers.py docstring); the
+        # reference's eval paths read running stats, so this is load-bearing
+        # for eval equivalence (tests/test_train_equivalence_ext.py).
+        return partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5)
     if kind == "in":
         return lambda use_running_average=None, name=None, **kw: InstanceNorm(name=name)
     if kind == "statfree":
@@ -254,7 +253,7 @@ class DigitModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
-        bn = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+        bn = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5)
         x = nn.Conv(64, (5, 5), padding=2)(x)
         x = bn(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
@@ -283,7 +282,7 @@ class AlexNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
-        bn = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+        bn = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5)
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2)(x)
         x = bn(use_running_average=not train)(x)
         x = nn.relu(x)

@@ -37,7 +37,11 @@ def from_torch_sequential(
     """
     # Sort the sequential indices numerically; each conv has weight+bias.
     def to_np(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # copy: tensor.numpy() aliases torch memory and JAX CPU zero-copies
+        # contiguous arrays (see convert_resnet._to_np)
+        if hasattr(v, "detach"):
+            return np.array(v.detach().cpu().numpy(), copy=True)
+        return np.array(v, copy=True)
 
     weights = {}
     for key, val in state_dict.items():

@@ -25,7 +25,14 @@ import numpy as np
 
 
 def _to_np(v) -> np.ndarray:
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    """ALWAYS copies. ``tensor.numpy()`` shares memory with the live torch
+    tensor, and JAX CPU zero-copies contiguous numpy arrays — without the
+    copy, converted params silently track subsequent in-place updates of
+    the source torch model (observed: a torch optimizer step mutating
+    already-converted jax params)."""
+    if hasattr(v, "detach"):
+        return np.array(v.detach().cpu().numpy(), copy=True)
+    return np.array(v, copy=True)
 
 
 def convert_torchvision_resnet(

@@ -14,6 +14,67 @@ kaiming_normal_fan_out = nn.initializers.variance_scaling(
 )
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-statistics semantics.
+
+    flax.linen.BatchNorm stores the BIASED batch variance in ``var``;
+    torch's BatchNorm2d stores the UNBIASED one (Bessel-corrected,
+    N/(N-1)). Normalization itself uses the biased variance in both
+    frameworks, so train-mode forward/backward agree either way — but every
+    reference eval path reads the running stats (model.eval(), fed_run.py
+    test()/test_fedbn), where the discrepancy is (N/(N-1))x on the stored
+    variance: negligible for conv BN (N = batch*H*W) but 33% for
+    BatchNorm1d at batch 4 (DigitModel's bn4/bn5). This module mirrors
+    torch bit-for-bit: update = momentum*old + (1-momentum)*unbiased_var
+    (torch's `momentum`=0.1 == our 0.9 convention).
+
+    Interface-compatible with flax BatchNorm as used by the zoo: params
+    ``scale``/``bias``, batch_stats ``mean``/``var``,
+    ``use_running_average`` selects eval behavior.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average=None) -> Array:
+        use_ra = (
+            self.use_running_average
+            if use_running_average is None
+            else use_running_average
+        )
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(xf.ndim - 1))
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)  # biased: used for normalization
+            if not self.is_initializing():
+                n = xf.size // c
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                )
+        out = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = out * scale + bias
+        return out.astype(orig_dtype)
+
+
 class InstanceNorm(nn.Module):
     """Per-(N, C) spatial normalization (torch ``InstanceNorm2d``).
 

@@ -263,9 +263,23 @@ def upsample_reflect_conv3x3(x: Array, w: Array, b: Array) -> Array:
 def init_params(
     key: jax.Array, arch: Sequence, dtype=jnp.float32
 ) -> Params:
-    """Kaiming-uniform init (torch Conv2d default) for a declarative arch."""
+    """Kaiming-uniform init (torch Conv2d default) for a declarative arch.
+
+    Runs on the CPU backend explicitly: each uniform draw is its own tiny
+    program, and over a remote-compile tunnel ~26 cold per-layer compiles
+    serialize into many minutes before any real work (measured: the
+    style-bank CLI appeared hung behind a cold decoder init). The weights
+    are host-side constants anyway — consumers device_put them.
+    """
     params: Params = {}
     convs = [l for l in arch if isinstance(l, Conv)]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return _init_params_on_default_device(key, convs, dtype)
+
+
+def _init_params_on_default_device(key, convs, dtype) -> Params:
+    params: Params = {}
     keys = jax.random.split(key, len(convs))
     for k, layer in zip(keys, convs):
         fan_in = layer.cin * layer.ksize * layer.ksize

@@ -177,6 +177,10 @@ class GanConfig:
     ema_decay: float = 0.995
     seed: int = 0
     fmap_max: int = 256
+    gp_weight: float = 0.0      # >0 enables the R1-style gradient penalty
+                                # (upstream lightweight_gan.py:1220-1235,
+                                # weight 10, applied every gp_every steps)
+    gp_every: int = 4
 
 
 class GanTrainer:
@@ -210,7 +214,25 @@ class GanTrainer:
         cfg = self.cfg
         gen, disc = self.gen, self.disc
 
-        def d_loss_fn(d_params, g_params, real, key):
+        def gp_term(d_params, real_aug):
+            """R1-style penalty on the real batch (upstream
+            lightweight_gan.py:1220-1235): grad of the summed real logits
+            w.r.t. the discriminator input, penalty ((||g||_2 - 1)^2).mean().
+            Taken at the post-DiffAugment input (the upstream takes it at the
+            raw batch through the augmentation; the policies are piecewise
+            affine, so both regularize the same local Lipschitz target)."""
+
+            def f(imgs):
+                lm, l32 = disc.apply({"params": d_params}, imgs)
+                return jnp.sum(lm) + jnp.sum(l32)
+
+            g = jax.grad(f)(real_aug)
+            gn = jnp.sqrt(
+                jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1) + 1e-12
+            )
+            return jnp.mean(jnp.square(gn - 1.0))
+
+        def d_loss_fn(d_params, g_params, real, key, step_idx):
             kz, ka1, ka2 = jax.random.split(key, 3)
             z = jax.random.normal(kz, (real.shape[0], cfg.latent_dim))
             fake = jax.lax.stop_gradient(gen.apply({"params": g_params}, z))
@@ -231,9 +253,16 @@ class GanTrainer:
                 real_aug, (real.shape[0], 32, 32, 3), method="bilinear"
             )
             recon_loss = jnp.mean(jnp.square(recon - target))
-            return hinge_real + hinge_fake + cfg.recon_weight * recon_loss, (
-                hinge_real, hinge_fake, recon_loss
-            )
+            loss = hinge_real + hinge_fake + cfg.recon_weight * recon_loss
+            gp = jnp.zeros(())
+            if cfg.gp_weight > 0:  # static: penalty compiled in only if on
+                gp = jax.lax.cond(
+                    step_idx % cfg.gp_every == 0,
+                    lambda: gp_term(d_params, real_aug),
+                    lambda: jnp.zeros(()),
+                )
+                loss = loss + cfg.gp_weight * gp
+            return loss, (hinge_real, hinge_fake, recon_loss, gp)
 
         def g_loss_fn(g_params, d_params, batch_size, key):
             kz, ka = jax.random.split(key)
@@ -244,10 +273,11 @@ class GanTrainer:
             )
             return -(jnp.mean(lf_main) + jnp.mean(lf_32))
 
-        def step(g_params, d_params, g_opt_state, d_opt_state, g_ema, real, key):
+        def step(g_params, d_params, g_opt_state, d_opt_state, g_ema, real,
+                 key, step_idx):
             kd, kg = jax.random.split(key)
             (d_loss, parts), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                d_params, g_params, real, kd
+                d_params, g_params, real, kd, step_idx
             )
             d_updates, d_opt_state = self.d_opt.update(d_grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, d_updates)
@@ -264,18 +294,18 @@ class GanTrainer:
             metrics = {
                 "d_loss": d_loss, "g_loss": g_loss,
                 "hinge_real": parts[0], "hinge_fake": parts[1],
-                "recon": parts[2],
+                "recon": parts[2], "gp": parts[3],
             }
             return g_params, d_params, g_opt_state, d_opt_state, g_ema, metrics
 
         return step
 
-    def train_step(self, real: Array) -> Dict[str, float]:
+    def train_step(self, real: Array, step_idx: int = 0) -> Dict[str, float]:
         self._key, sub = jax.random.split(self._key)
         (self.g_params, self.d_params, self.g_opt_state, self.d_opt_state,
          self.g_ema, metrics) = self._step(
             self.g_params, self.d_params, self.g_opt_state, self.d_opt_state,
-            self.g_ema, jnp.asarray(real), sub,
+            self.g_ema, jnp.asarray(real), sub, jnp.asarray(step_idx),
         )
         return {k: float(v) for k, v in metrics.items()}
 
@@ -284,6 +314,39 @@ class GanTrainer:
         z = jax.random.normal(key, (n, self.cfg.latent_dim))
         params = self.g_ema if ema else self.g_params
         return self.gen.apply({"params": params}, z)
+
+
+def vgg_frechet_distance(enc_params, a, b) -> float:
+    """FID-style Fréchet distance in VGG relu4_1 feature space.
+
+    The upstream Trainer's ``calculate_fid`` scores EMA samples against the
+    real set with pytorch-fid's InceptionV3 statistics
+    (lightweight_gan.py:1461-1489, :1321-1325 cadence). Zero-egress
+    equivalent: the framework's own VGG encoder as the feature extractor —
+    spatially pooled relu4_1 vectors, then the standard Fréchet formula
+    |mu_a - mu_b|^2 + tr(Ca + Cb - 2 (Ca^1/2 Cb Ca^1/2)^1/2), with the
+    matrix square roots via symmetric eigendecomposition (C is 512x512).
+    Same ranking role as FID; not numerically comparable to Inception-FID.
+    """
+    from ccst_tpu.models import vgg
+
+    def feats(x):
+        f = vgg.apply_encoder(enc_params, jnp.asarray(x, jnp.float32))
+        return np.asarray(jnp.mean(f.astype(jnp.float32), axis=(1, 2)))
+
+    fa, fb = feats(a), feats(b)
+    mu_a, mu_b = fa.mean(0), fb.mean(0)
+    ca = np.cov(fa, rowvar=False) + 1e-6 * np.eye(fa.shape[1])
+    cb = np.cov(fb, rowvar=False) + 1e-6 * np.eye(fb.shape[1])
+
+    def psd_sqrt(m):
+        w, v = np.linalg.eigh(m)
+        return (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+
+    sa = psd_sqrt(ca)
+    mid = psd_sqrt(sa @ cb @ sa)
+    d2 = float(np.sum((mu_a - mu_b) ** 2) + np.trace(ca + cb - 2 * mid))
+    return max(d2, 0.0)
 
 
 def save_augment_grid(images, out_path: str, key=None,

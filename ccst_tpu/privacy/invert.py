@@ -61,6 +61,8 @@ class InvertConfig:
     eval_limit: int = 64          # images scored at eval
     loss: str = "mse"             # "mse" | "mse+perceptual"
     perc_weight: float = 0.1      # weight of the perceptual term
+    lpips_vgg: str = ""           # torchvision vgg16 .pth -> TRUE LPIPS
+    lpips_lin: str = ""           # LPIPS linear-head .pth (both required)
 
 
 def psnr(a: Array, b: Array, max_val: float = 1.0) -> Array:
@@ -256,19 +258,35 @@ def evaluate_inverter(
         batch_size=cfg.batch_size, image_size=cfg.image_size,
     )
 
+    # TRUE LPIPS when the torch checkpoints are supplied (test.py:28,184);
+    # otherwise the documented normalized-deep-feature substitute
+    lpips_fn = None
+    if cfg.lpips_vgg and cfg.lpips_lin:
+        from ccst_tpu.privacy.lpips import load_lpips_weights, lpips_distance
+
+        vggp, lins = load_lpips_weights(cfg.lpips_vgg, cfg.lpips_lin)
+        lpips_fn = jax.jit(lambda a, b: lpips_distance(vggp, lins, a, b))
+
     @jax.jit
     def recon_batch(images):
         z = style_vector(enc16, images.astype(jnp.bfloat16)).astype(jnp.float32)
         recon = model.apply({"params": params}, z, train=False)
         return recon, psnr(recon, images), perceptual_distance(enc, recon, images)
 
-    psnrs, percs = [], []
+    psnrs, percs, lpipss = [], [], []
     idx = 0
     for batch in loader:
         recon, p, d = recon_batch(jnp.asarray(batch.images))
+        lp = (
+            lpips_fn(jnp.clip(recon, 0.0, 1.0), jnp.asarray(batch.images))
+            if lpips_fn is not None
+            else None
+        )
         for j in range(batch.valid):
             psnrs.append(float(p[j]))
             percs.append(float(d[j]))
+            if lp is not None:
+                lpipss.append(float(lp[j]))
             save_image_u8(
                 np.asarray(recon[j]), os.path.join(out_img_dir, f"recon_{idx}.png")
             )
@@ -282,6 +300,9 @@ def evaluate_inverter(
         "perceptual_std": float(np.std(percs)),
         "recon_dir": out_img_dir,
     }
+    if lpipss:
+        report["lpips_mean"] = float(np.mean(lpipss))
+        report["lpips_std"] = float(np.std(lpipss))
     np.save(os.path.join(out_img_dir, "psnr_perceptual.npy"),
             np.stack([psnrs, percs]))
     with open(os.path.join(out_img_dir, "report.json"), "w") as f:

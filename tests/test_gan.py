@@ -71,3 +71,35 @@ def test_save_augment_grid(tmp_path, rng):
 
     grid = load_image(out, None)
     assert grid.shape == (4 * 16, 3 * 16, 3)
+
+
+def test_gradient_penalty_path(rng):
+    """gp_weight>0 engages the R1 penalty on gp_every-aligned steps
+    (upstream lightweight_gan.py:1181,1220-1235) and training stays finite;
+    off-cadence steps report gp == 0."""
+    cfg = GanConfig(image_size=32, latent_dim=32, batch_size=2, steps=2,
+                    fmap_max=16, lr=1e-3, gp_weight=10.0, gp_every=2)
+    trainer = GanTrainer(cfg)
+    real = rng.random((2, 32, 32, 3)).astype(np.float32)
+    m0 = trainer.train_step(real, step_idx=0)   # on-cadence: penalty active
+    m1 = trainer.train_step(real, step_idx=1)   # off-cadence
+    assert np.isfinite(m0["gp"]) and m0["gp"] > 0.0, m0
+    assert m1["gp"] == 0.0, m1
+    assert all(np.isfinite(v) for v in m0.values())
+
+
+def test_vgg_frechet_distance(rng):
+    """FID-style metric sanity: ~0 on identical sets, grows with distortion,
+    symmetric-ish in magnitude."""
+    from ccst_tpu.models import vgg
+    from ccst_tpu.privacy.gan import vgg_frechet_distance
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    a = rng.random((8, 32, 32, 3)).astype(np.float32)
+    d_same = vgg_frechet_distance(enc, a, a)
+    assert d_same < 1e-3, d_same
+    b1 = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    b2 = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    d1 = vgg_frechet_distance(enc, a, b1)
+    d2 = vgg_frechet_distance(enc, a, b2)
+    assert 0 <= d1 < d2, (d1, d2)
