@@ -274,6 +274,17 @@ def cmd_fed_test(args) -> int:
 def cmd_invert_train(args) -> int:
     from ccst_tpu.privacy.invert import InvertConfig, train_inverter
 
+    if args.coordinator or args.num_procs > 1 or os.environ.get("CCST_COORDINATOR"):
+        # the reference's only true DDP entry point is exactly this trainer
+        # (imagenet_reconstruct.py:141-175 mp.spawn + NCCL); join the
+        # jax.distributed cluster before any backend use
+        from ccst_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_procs if args.num_procs > 0 else None,
+            process_id=args.proc_id if args.proc_id >= 0 else None,
+        )
     cfg = InvertConfig(
         dataset=args.dataset,
         source=args.source,
@@ -539,6 +550,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="mse+perceptual = the LPIPS-criterion training "
                         "variant (imagenet_reconstruct_lpips.py)")
     p.add_argument("--perc-weight", type=float, default=0.1)
+    p.add_argument("--coordinator", default="",
+                   help="host:port -> multi-process DDP-equivalent launch")
+    p.add_argument("--num-procs", type=int, default=0)
+    p.add_argument("--proc-id", type=int, default=-1)
     p.set_defaults(fn=cmd_invert_train)
 
     p = sub.add_parser("invert-eval", help="PSNR/LPIPS of style-stat inversion")

@@ -63,6 +63,12 @@ class InvertConfig:
     perc_weight: float = 0.1      # weight of the perceptual term
     lpips_vgg: str = ""           # torchvision vgg16 .pth -> TRUE LPIPS
     lpips_lin: str = ""           # LPIPS linear-head .pth (both required)
+    # multi-process (DCN) launch — the reference's DDP entry point lives
+    # exactly here (imagenet_reconstruct.py:141-175 mp.spawn + NCCL);
+    # same env fallbacks as fed-train (CCST_COORDINATOR / ...)
+    coordinator: str = ""
+    num_procs: int = 0
+    proc_id: int = -1
 
 
 def psnr(a: Array, b: Array, max_val: float = 1.0) -> Array:
@@ -113,6 +119,12 @@ def _loaders(cfg: InvertConfig) -> Tuple[ImageBatchLoader, ImageBatchLoader]:
     idx = rng.permutation(len(names))
     n_val = max(1, int(len(names) * cfg.val_fraction))
     val_idx, train_idx = idx[:n_val], idx[n_val:]
+    if jax.process_count() > 1:
+        # DistributedSampler analogue: every process decodes only its own
+        # contiguous slice of the (seed-deterministic) permutation
+        p, np_ = jax.process_index(), jax.process_count()
+        train_idx = train_idx[p::np_]
+        val_idx = val_idx[p::np_]
     train = ImageBatchLoader(
         [names[i] for i in train_idx], [labels[i] for i in train_idx],
         batch_size=cfg.batch_size, image_size=cfg.image_size,
@@ -160,6 +172,16 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    multiproc = jax.process_count() > 1
+    if multiproc and mesh is None:
+        # multi-process DP: one global "data" mesh over every host's
+        # devices — THE launchable counterpart of the reference's DDP
+        # (imagenet_reconstruct.py:141-175); batches are assembled from
+        # process-local shards below, XLA inserts the gradient all-reduce
+        # across DCN
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
     if mesh is not None:
         # data-parallel over the mesh's "data" axis — pjit inserts the
         # gradient all-reduce (replaces the reference's NCCL DDP template,
@@ -189,23 +211,62 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
     out_path = os.path.join(
         cfg.out_dir, cfg.dataset.lower(), f"{cfg.source}_inverter.ckpt"
     )
+    if multiproc:
+        # replicate init state globally (identical on every host: same
+        # seed); per-step batches are per-process shards assembled into one
+        # global (num_procs * batch) array on the "data" axis
+        from jax.sharding import PartitionSpec as P
+
+        from ccst_tpu.parallel import multihost
+
+        params = multihost.replicate_tree(jax.tree.map(np.asarray, params), mesh)
+        opt_state = jax.tree.map(
+            lambda x: multihost.from_process_local(mesh, P(), np.asarray(x)),
+            opt_state,
+        )
+
+        def feed(images):
+            return multihost.from_process_local(mesh, P("data"), images)
+
+        def to_host(tree):
+            return jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(jax.device_get(a))), tree
+            )
+    else:
+        feed = jnp.asarray
+        to_host = lambda tree: tree
     it = iter(train_loader)
     eval_every = max(50, cfg.steps // 20)
     loss = float("nan")
+    rank0 = jax.process_index() == 0
     for i in range(cfg.steps):
         batch = next(it)
-        params, opt_state, loss = step(params, opt_state, jnp.asarray(batch.images))
+        params, opt_state, loss = step(params, opt_state, feed(batch.images))
         if (i + 1) % eval_every == 0 or i == cfg.steps - 1:
+            # every process scores its own val shard with a host-local
+            # copy of the replicated params; sums combine across hosts
+            params_h = to_host(params)
             tot = n = 0.0
             for vb in val_loader:
-                s, m = val_psnr(params, jnp.asarray(vb.images), jnp.asarray(vb.valid))
+                s, m = val_psnr(
+                    params_h, jnp.asarray(vb.images), jnp.asarray(vb.valid)
+                )
                 tot += float(s)
                 n += float(m)
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                sums = multihost_utils.process_allgather(
+                    np.asarray([tot, n]), tiled=False
+                )
+                tot, n = [float(v) for v in np.asarray(sums).reshape(-1, 2).sum(0)]
             cur = tot / max(n, 1.0)
             if cur > best["psnr"]:
                 best = {"psnr": cur, "step": i}
-                save_checkpoint(out_path, {"params": params, "best": best})
-            print(f"step {i+1}/{cfg.steps} loss={float(loss):.5f} val_psnr={cur:.2f}dB")
+                if rank0:  # single writer
+                    save_checkpoint(out_path, {"params": params_h, "best": best})
+            if rank0:
+                print(f"step {i+1}/{cfg.steps} loss={float(loss):.5f} val_psnr={cur:.2f}dB")
     best["checkpoint"] = out_path
     best["final_loss"] = float(loss)
     return best

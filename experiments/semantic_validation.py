@@ -97,15 +97,24 @@ def make_shapes_dataset(root: str, size: int, n_per_class: int, seed: int) -> No
                 )
                 names.append(rel)
                 labels.append(ci)
-        # train/test split: last quarter of each domain is test
-        n_test = max(len(names) // 4, 4)
+        # stratified train/test split: last quarter OF EACH CLASS is test
+        # (names are class-major; a tail split would make the test set a
+        # single class — measured as a flat test_acc=0.0 artifact)
+        tr_n, tr_l, te_n, te_l = [], [], [], []
+        for ci in range(len(CLASSES)):
+            cls_names = [n for n, l in zip(names, labels) if l == ci]
+            k = max(len(cls_names) // 4, 1)
+            tr_n += cls_names[:-k]
+            tr_l += [ci] * (len(cls_names) - k)
+            te_n += cls_names[-k:]
+            te_l += [ci] * k
         write_list(
             os.path.join(root, "txt_lists", "shapes4", f"{d}_train.txt"),
-            names[:-n_test], labels[:-n_test],
+            tr_n, tr_l,
         )
         write_list(
             os.path.join(root, "txt_lists", "shapes4", f"{d}_test.txt"),
-            names[-n_test:], labels[-n_test:],
+            te_n, te_l,
         )
 
 
