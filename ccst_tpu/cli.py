@@ -343,6 +343,7 @@ def cmd_gan_train(args) -> int:
         batch_size=args.batch_size, lr=args.lr, steps=args.steps,
         aug_policy=args.aug_policy, seed=args.seed, fmap_max=args.fmap_max,
         gp_weight=args.gp_weight,
+        attn_res=tuple(int(r) for r in args.attn_res.split(",") if r.strip()),
     )
     names, labels = parse_list(
         train_list_path(args.list_root, args.dataset, args.source)
@@ -588,6 +589,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gp-weight", type=float, default=0.0,
                    help="R1 gradient penalty weight (upstream uses 10)")
+    p.add_argument("--attn-res", default="",
+                   help="comma list of resolutions for LinearAttention, e.g. 32,64")
     p.add_argument("--fid-samples", type=int, default=0,
                    help="N>0: closing VGG-Frechet distance on N samples")
     p.add_argument("--vgg-weights", default="",

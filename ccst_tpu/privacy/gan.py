@@ -137,15 +137,21 @@ class Discriminator(nn.Module):
 
     image_size: int = 256
     fmap_max: int = 256
+    attn_res: tuple = ()   # LinearAttention at these resolutions
+                           # (upstream --attn-res-layers applies to D too)
 
     @nn.compact
     def __call__(self, x: Array, decode: bool = False):
+        from ccst_tpu.privacy.generator import LinearAttention
+
         res = self.image_size
         feats = []
         c = 16
         while res > 8:
             x = _DownBlock(min(c, self.fmap_max))(x)
             res //= 2
+            if res in self.attn_res:
+                x = x + LinearAttention(name=f"attn_{res}")(x)
             c *= 2
             feats.append(x)
         logits_main = nn.Conv(1, (1, 1))(nn.leaky_relu(
@@ -181,6 +187,8 @@ class GanConfig:
                                 # (upstream lightweight_gan.py:1220-1235,
                                 # weight 10, applied every gp_every steps)
     gp_every: int = 4
+    attn_res: tuple = ()        # LinearAttention resolutions in G and D
+                                # (upstream --attn-res-layers)
 
 
 class GanTrainer:
@@ -194,9 +202,11 @@ class GanTrainer:
         self.cfg = cfg
         self.gen = StyleInverter(
             image_size=cfg.image_size, latent_dim=cfg.latent_dim,
-            fmap_max=cfg.fmap_max,
+            fmap_max=cfg.fmap_max, attn_res=tuple(cfg.attn_res),
         )
-        self.disc = Discriminator(image_size=cfg.image_size, fmap_max=cfg.fmap_max)
+        self.disc = Discriminator(image_size=cfg.image_size,
+                                  fmap_max=cfg.fmap_max,
+                                  attn_res=tuple(cfg.attn_res))
         key = jax.random.PRNGKey(cfg.seed)
         kg, kd, self._key = jax.random.split(key, 3)
         z0 = jnp.zeros((1, cfg.latent_dim))

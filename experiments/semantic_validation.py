@@ -127,19 +127,61 @@ def _register(size: int) -> None:
     )
 
 
-def _train_stylizer(root: str, size: int, steps: int):
-    """Train the mirror decoder against the fixed encoder on pooled source
-    images (target excluded: the decoder may not see the held-out domain).
-    The encoder is the same PRNGKey(0) init the rest of the chain uses."""
-    from ccst_tpu.models.convert import load_decoder
+def make_experiment_encoder(probe_images):
+    """A healthy random encoder via LSUV-style rescaling.
+
+    The zero-egress environment has no pretrained VGG; a plain
+    kaiming-uniform random encoder's activations DECAY ~12x to relu4_1
+    (std 0.0076 measured), which collapses the style banks and makes the
+    trained decoder emit structureless mush (measured: stylized-vs-content
+    luminance correlation exactly 0.0). Per-layer weight rescaling to unit
+    post-ReLU std on a probe batch (LSUV; Mishkin & Matas 2016) keeps the
+    feature space non-degenerate so AdaIN transfer is meaningful.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ccst_tpu.models import vgg
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    enc = {k: dict(v) for k, v in enc.items()}
+    x = jnp.asarray(np.asarray(probe_images, np.float32))
+    h = x
+    for layer in vgg.ENCODER_ARCH:
+        if isinstance(layer, vgg.Conv):
+            w, b = enc[layer.name]["w"], enc[layer.name]["b"]
+            pre = vgg.conv2d(
+                vgg.reflect_pad(h, 1) if layer.ksize == 3 else h, w, b
+            )
+            if layer.relu:
+                pre = jax.nn.relu(pre)
+            s = float(jnp.std(pre)) + 1e-8
+            enc[layer.name]["w"] = w / s
+            enc[layer.name]["b"] = b / s
+            h = pre / s
+            if layer.name == "conv4_1":
+                break
+        elif isinstance(layer, vgg.Pool):
+            h = vgg.maxpool_ceil(h)
+    return enc
+
+
+def _train_stylizer(root: str, size: int, steps: int, enc):
+    """Train the mirror decoder against the (LSUV-rescaled) encoder on
+    pooled source images (target excluded: the decoder may not see the
+    held-out domain)."""
+    from ccst_tpu.models.convert import load_decoder, save_npz
     from ccst_tpu.pipeline.train_decoder import DecoderTrainConfig, train_decoder
 
+    enc_path = os.path.join(root, "encoder_lsuv.npz")
+    save_npz(enc_path, enc)
     cfg = DecoderTrainConfig(
         dataset="shapes4", list_root=root, data_root=root,
         image_size=size, batch_size=8, steps=steps, lr=2e-4,
         out_path=os.path.join(root, "decoder_trained.npz"),
         log_every=max(steps // 4, 1),
         domains=",".join(DOMAINS[:-1]),
+        vgg_weights=enc_path,
     )
     result = train_decoder(cfg)
     return load_decoder(result["out_path"])
@@ -208,21 +250,18 @@ def main() -> None:
     ap.add_argument("--workdir", default="")
     args = ap.parse_args()
 
-    size = 36
+    size = 32  # power of 2: the stylize decode round-trips exactly (ceil
+    # pools at 36px inflate outputs to 40px — measured artifact)
     n_per_class = 8 if args.quick else 40
     dec_steps = 30 if args.quick else 400
     rounds = 2 if args.quick else 10
     seeds = [1] if args.quick else [1, 2, 3]
 
-    import jax
-
-    from ccst_tpu.models import vgg
-
     _register(size)
-    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
 
     results: Dict[str, List[Dict]] = {"no_fusion": [], "bf16": [], "int8": []}
     workdir = args.workdir or tempfile.mkdtemp(prefix="ccst_semval_")
+    enc = None
     for seed in seeds:
         arms = {}
         for arm, engine_kind in (
@@ -232,7 +271,16 @@ def main() -> None:
             make_shapes_dataset(root, size, n_per_class, seed=seed)
             fusion = "no_fusion"
             if engine_kind is not None:
-                dec = _train_stylizer(root, size, dec_steps)
+                if enc is None:
+                    from ccst_tpu.data.loader import load_image
+
+                    probes = [
+                        load_image(os.path.join(
+                            root, f"SHAPES4/kfold/{d}/{c}/img000.png"), size)
+                        for d in DOMAINS[:-1] for c in CLASSES
+                    ]
+                    enc = make_experiment_encoder(np.stack(probes))
+                dec = _train_stylizer(root, size, dec_steps, enc)
                 run_chain(root, size, engine_kind, seed, enc, dec)
                 fusion = "adain-overall-K3"
             best = run_fed(root, size, fusion, seed, rounds)

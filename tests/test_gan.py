@@ -103,3 +103,34 @@ def test_vgg_frechet_distance(rng):
     d1 = vgg_frechet_distance(enc, a, b1)
     d2 = vgg_frechet_distance(enc, a, b2)
     assert 0 <= d1 < d2, (d1, d2)
+
+
+def test_linear_attention_block(rng):
+    """Attention at feature resolutions (upstream --attn-res-layers): shape
+    preservation, gradient flow, and batch independence (sample i's output
+    must not depend on sample j)."""
+    from ccst_tpu.privacy.generator import LinearAttention
+
+    attn = LinearAttention(dim_head=8, heads=2)
+    x = jnp.asarray(rng.random((2, 8, 8, 16), np.float32))
+    params = attn.init(jax.random.PRNGKey(0), x)["params"]
+    y = attn.apply({"params": params}, x)
+    assert y.shape == x.shape
+    g = jax.grad(lambda v: float(0) + jnp.sum(attn.apply({"params": params}, v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+    # batch independence: changing sample 1 must not change sample 0
+    x2 = x.at[1].set(x[1] + 1.0)
+    y2 = attn.apply({"params": params}, x2)
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y2[0]), atol=1e-5)
+    assert not np.allclose(np.asarray(y[1]), np.asarray(y2[1]))
+
+
+def test_gan_with_attention_trains(rng):
+    cfg = GanConfig(image_size=32, latent_dim=16, batch_size=2, steps=1,
+                    fmap_max=16, lr=1e-3, attn_res=(8,))
+    trainer = GanTrainer(cfg)
+    # attention params exist in both networks at the requested resolution
+    assert "attn_8" in trainer.g_params
+    assert "attn_8" in trainer.d_params
+    m = trainer.train_step(rng.random((2, 32, 32, 3)).astype(np.float32))
+    assert all(np.isfinite(v) for v in m.values()), m

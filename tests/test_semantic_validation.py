@@ -17,13 +17,10 @@ from experiments import semantic_validation as sv
 
 
 def test_quick_chain(tmp_path):
-    import jax
+    from ccst_tpu.data.loader import load_image
 
-    from ccst_tpu.models import vgg
-
-    size = 36
+    size = 32
     sv._register(size)
-    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
 
     root = str(tmp_path / "arm")
     sv.make_shapes_dataset(root, size, n_per_class=6, seed=1)
@@ -33,7 +30,12 @@ def test_quick_chain(tmp_path):
             os.path.join(root, "txt_lists", "shapes4", f"{d}_train.txt")
         )
 
-    dec = sv._train_stylizer(root, size, steps=5)
+    probes = np.stack([
+        load_image(os.path.join(root, f"SHAPES4/kfold/{d}/disk/img000.png"), size)
+        for d in sv.DOMAINS[:-1]
+    ])
+    enc = sv.make_experiment_encoder(probes)
+    dec = sv._train_stylizer(root, size, steps=5, enc=enc)
     sv.run_chain(root, size, "ref", seed=1, enc=enc, dec=dec)
     # stylized tree + fusion lists exist for the held-out target
     target = sv.DOMAINS[-1]
