@@ -418,6 +418,8 @@ def cmd_train_decoder(args) -> int:
         style_weight=args.style_weight,
         seed=args.seed,
         vgg_weights=args.vgg_weights,
+        init_decoder=args.init_decoder,
+        domains=args.domains,
         out_path=args.out_path,
     )
     print(json.dumps(train_decoder(cfg)))
@@ -619,6 +621,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--style-weight", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--vgg-weights", default="")
+    p.add_argument("--init-decoder", default="",
+                   help="warm-start decoder weights (.npz)")
+    p.add_argument("--domains", default="",
+                   help="comma-separated domain pool when content/style "
+                        "domain is unset (e.g. sources only)")
     p.add_argument("--out-path", default="decoder_trained.npz")
     p.set_defaults(fn=cmd_train_decoder)
 

@@ -40,6 +40,8 @@ class DecoderTrainConfig:
     content_weight: float = 1.0
     seed: int = 1
     vgg_weights: str = ""
+    init_decoder: str = ""          # warm-start decoder weights (.npz); ""
+                                    # = random init
     out_path: str = "decoder_trained.npz"
     log_every: int = 100
     domains: str = ""               # comma-separated pool when content/style
@@ -81,7 +83,12 @@ def train_decoder(cfg: DecoderTrainConfig, mesh=None) -> Dict[str, Any]:
         enc = load_encoder(cfg.vgg_weights)
     else:
         enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
-    dec = vgg.init_params(jax.random.PRNGKey(cfg.seed), vgg.DECODER_ARCH)
+    if cfg.init_decoder:
+        from ccst_tpu.models.convert import load_decoder
+
+        dec = load_decoder(cfg.init_decoder)
+    else:
+        dec = vgg.init_params(jax.random.PRNGKey(cfg.seed), vgg.DECODER_ARCH)
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(dec)
 
