@@ -219,9 +219,17 @@ def pretrain_encoder(root: str, size: int, steps: int, enc):
         domains=",".join(DOMAINS[:-1]),
     )
     dec = vgg.init_params(jax.random.PRNGKey(7), vgg.DECODER_ARCH)
-    params = {"enc": enc, "dec": dec}
+    key = jax.random.PRNGKey(13)
+    head = {
+        "w": jax.random.normal(key, (1024, 3)) * 0.01,
+        "b": jnp.zeros((3,)),
+    }
+    params = {"enc": enc, "dec": dec, "head": head}
     tx = optax.adam(3e-4)
     opt = tx.init(params)
+
+    def _stats(f):
+        return f.mean(axis=(1, 2)), f.std(axis=(1, 2))
 
     def _std(f):
         mu = f.mean(axis=(1, 2), keepdims=True)
@@ -238,29 +246,38 @@ def pretrain_encoder(root: str, size: int, steps: int, enc):
             # style-content disentanglement: per-image-standardized features
             # must be invariant to a random global tint, i.e. global color
             # must live in the feature STATS — the property AdaIN transfer
-            # relies on and pretrained VGG has (measured: without this term
-            # the stylized copies keep a 0.95 class-tint linear probe; the
-            # tints here are label- and domain-independent uniform draws)
+            # relies on and pretrained VGG has (measured: without these
+            # terms the stylized copies keep a 0.95 class-tint linear
+            # probe; at weight 1 the AdaIN decoder training amplifies the
+            # residual back to 0.84; the tints here are label- and
+            # domain-independent uniform draws)
             f_t = vgg.apply_encoder(p["enc"], x * tint)
             inv = jnp.mean((_std(f_t) - _std(f)) ** 2)
-            return recon + inv, (recon, inv)
+            # ...and conversely the stats must carry the global color: a
+            # jointly-trained linear head must be able to read the tint
+            # back from [mu, sd] (forces the stat channel AdaIN swaps to
+            # actually contain the color the transfer should move)
+            mu_t, sd_t = _stats(f_t)
+            pred = jnp.concatenate([mu_t, sd_t], -1) @ p["head"]["w"] + p["head"]["b"]
+            reg = jnp.mean((pred - tint[:, 0, 0, :]) ** 2)
+            return recon + 20.0 * inv + reg, (recon, inv, reg)
 
-        (l, (lr_, li_)), g = jax.value_and_grad(loss, has_aux=True)(params)
+        (l, (lr_, li_, lg_)), g = jax.value_and_grad(loss, has_aux=True)(params)
         upd, opt = tx.update(g, opt, params)
-        return optax.apply_updates(params, upd), opt, lr_, li_
+        return optax.apply_updates(params, upd), opt, lr_, li_, lg_
 
     it = iter(_pooled_loader(cfg, ""))
     rng = np.random.default_rng(11)
     for i in range(steps):
         b = next(it)
         tint = rng.uniform(0.25, 1.0, (b.images.shape[0], 1, 1, 3))
-        params, opt, lr_, li_ = step(
+        params, opt, lr_, li_, lg_ = step(
             params, opt, jnp.asarray(b.images), jnp.asarray(tint, np.float32)
         )
         if (i + 1) % max(steps // 4, 1) == 0:
             print(
                 f"[ae] step {i+1}/{steps} recon={float(lr_):.5f} "
-                f"inv={float(li_):.5f}",
+                f"inv={float(li_):.5f} tintreg={float(lg_):.5f}",
                 flush=True,
             )
     # the AE decoder warm-starts the production AdaIN decoder training
@@ -356,15 +373,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="CI-sized smoke (1 seed, small data, few rounds)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) backend; default is CPU "
+                         "— the 32px per-step dispatches are tunnel-latency-"
+                         "bound on the remote chip")
     ap.add_argument("--out", default="EXPERIMENT_SEMANTIC.json")
     ap.add_argument("--workdir", default="")
     args = ap.parse_args()
 
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     size = 32  # power of 2: the stylize decode round-trips exactly (ceil
     # pools at 36px inflate outputs to 40px — measured artifact)
     n_per_class = 8 if args.quick else 40
-    ae_steps = 10 if args.quick else 1200
-    dec_steps = 30 if args.quick else 1500
+    ae_steps = 10 if args.quick else 1500
+    dec_steps = 30 if args.quick else 1200
     rounds = 2 if args.quick else 16
     seeds = [1] if args.quick else [1, 2, 3]
 
