@@ -112,6 +112,21 @@ def _load_scales_for(cfg):
     return None
 
 
+def _multiproc_requested(coordinator: str, num_procs: int) -> bool:
+    """True when a multi-process launch is requested via flags OR any of the
+    CCST_* env equivalents (multihost.initialize:40-50). On TPU pods the
+    coordinator is auto-detected, so CCST_NUM_PROCS/CCST_PROC_ID alone must
+    also trigger cluster initialization — otherwise every host would
+    silently run a full single-host training and race on the output paths."""
+    return bool(
+        coordinator
+        or num_procs > 1
+        or os.environ.get("CCST_COORDINATOR")
+        or int(os.environ.get("CCST_NUM_PROCS", "0")) > 1
+        or os.environ.get("CCST_PROC_ID")
+    )
+
+
 def cmd_calibrate(args) -> int:
     """Compute and persist int8-static activation scales (deterministic:
     first N train-list images + the style banks — pipeline/stylize.py
@@ -125,7 +140,10 @@ def cmd_calibrate(args) -> int:
     enc, dec = _load_engine_params(args)
     engine = StylizeEngine(
         enc, dec, dtype=jnp.dtype(cfg.dtype),
-        engine=cfg.engine if cfg.engine.startswith("int8") else "int8-static",
+        # only the static engines have persistable scales (the dynamic
+        # "int8" engine self-scales per batch and calibrate() would no-op)
+        engine=cfg.engine if cfg.engine in ("int8-static", "int8-fused")
+        else "int8-static",
     )
     path = run_calibration(cfg, engine, max_images=args.max_images)
     print(json.dumps({"scales_path": path, "n_scales": len(engine.scales)}))
@@ -209,11 +227,7 @@ def cmd_fed_train(args) -> int:
     from ccst_tpu.config import FedConfig
 
     cfg = _dataclass_from_args(FedConfig, args)
-    multiproc = bool(
-        cfg.coordinator
-        or cfg.num_procs > 1
-        or os.environ.get("CCST_COORDINATOR")
-    )
+    multiproc = _multiproc_requested(cfg.coordinator, cfg.num_procs)
     if multiproc:
         # join the jax.distributed cluster BEFORE any backend use
         from ccst_tpu.parallel import multihost
@@ -274,7 +288,7 @@ def cmd_fed_test(args) -> int:
 def cmd_invert_train(args) -> int:
     from ccst_tpu.privacy.invert import InvertConfig, train_inverter
 
-    if args.coordinator or args.num_procs > 1 or os.environ.get("CCST_COORDINATOR"):
+    if _multiproc_requested(args.coordinator, args.num_procs):
         # the reference's only true DDP entry point is exactly this trainer
         # (imagenet_reconstruct.py:141-175 mp.spawn + NCCL); join the
         # jax.distributed cluster before any backend use
@@ -358,6 +372,7 @@ def cmd_gan_train(args) -> int:
         os.path.join(args.out_dir, f"gan_{args.dataset}_{args.source}.jsonl")
     )
     it = iter(loader)
+    metrics = {}  # stays empty for --steps 0 (e.g. FID-score-only runs)
     for step in range(cfg.steps):
         batch = next(it)
         metrics = trainer.train_step(batch.images, step_idx=step)

@@ -42,7 +42,11 @@ def is_bn_path(path: Tuple) -> bool:
     """
     for p in path:
         name = getattr(p, "key", getattr(p, "name", str(p)))
-        if name.startswith("bn") or name.startswith("BatchNorm"):
+        if (
+            name.startswith("bn")
+            or name.startswith("BatchNorm")
+            or name.startswith("TorchBatchNorm")
+        ):
             return True
     return False
 

@@ -139,6 +139,12 @@ class MultihostFedRunner:
         )
         self.n_clients = n_clients
         self.cfg = cfg
+        # one compiled replication program, reused for every tree pulled to
+        # host (jit caches by function identity: a fresh lambda per call
+        # would re-trace 4x per round)
+        self._replicate = jax.jit(
+            lambda t: t, out_shardings=NamedSharding(self.mesh, P())
+        )
 
     # ------------------------------------------------------------------
 
@@ -154,7 +160,7 @@ class MultihostFedRunner:
 
     def _to_host(self, tree):
         """Replicated global tree -> host numpy (readable on every process)."""
-        rep = jax.jit(lambda t: t, out_shardings=NamedSharding(self.mesh, P()))(tree)
+        rep = self._replicate(tree)
         return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), rep)
 
     def run_round(self, round_idx: int) -> Dict[str, Any]:
@@ -175,10 +181,8 @@ class MultihostFedRunner:
             return bd
 
         n = self.n_clients
-        loss = np.zeros(n)
-        correct = np.zeros(n)
-        count = np.zeros(n)
-        active = np.zeros(n)
+        metric_acc = None  # (4, n) device-side running sum: one host sync
+        # per ROUND instead of four blocking DCN gathers per step
         for wk in range(cfg.wk_iters):
             rng, sub = jax.random.split(rng)
             for step_idx, local_batch in enumerate(
@@ -202,12 +206,15 @@ class MultihostFedRunner:
                 states, m = self.trainer.step(
                     states, server_params, batch, rngs, jnp.asarray(step_idx)
                 )
-                from jax.experimental import multihost_utils
+                step_metrics = jnp.stack([m.loss, m.correct, m.count, m.active])
+                metric_acc = (
+                    step_metrics if metric_acc is None else metric_acc + step_metrics
+                )
+        from jax.experimental import multihost_utils
 
-                loss += multihost_utils.process_allgather(m.loss, tiled=True)
-                correct += multihost_utils.process_allgather(m.correct, tiled=True)
-                count += multihost_utils.process_allgather(m.count, tiled=True)
-                active += multihost_utils.process_allgather(m.active, tiled=True)
+        loss, correct, count, active = np.asarray(
+            multihost_utils.process_allgather(metric_acc, tiled=True)
+        )
 
         has_stats = bool(inner.client_states[0]["batch_stats"])
         sp, ss, ncp, ncs = self.trainer.communicate(

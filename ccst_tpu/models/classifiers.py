@@ -282,23 +282,25 @@ class AlexNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
+        # explicit bn1..bn7 names (reference nets/models.py:16-49): flax
+        # auto-names would not match aggregate.is_bn_path's fedbn selector
         bn = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5)
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_same(x, 3, 2, 0)
         x = nn.Conv(192, (5, 5), padding=2)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn2")(x)
         x = nn.relu(x)
         x = max_pool_same(x, 3, 2, 0)
         x = nn.Conv(384, (3, 3), padding=1)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn3")(x)
         x = nn.relu(x)
         x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn4")(x)
         x = nn.relu(x)
         x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn5")(x)
         x = nn.relu(x)
         x = max_pool_same(x, 3, 2, 0)
         # AdaptiveAvgPool2d((6,6)) at canonical sizes is identity/near; use resize
@@ -308,10 +310,10 @@ class AlexNet(nn.Module):
             )
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(4096)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn6")(x)
         x = nn.relu(x)
         x = nn.Dense(4096)(x)
-        x = bn(use_running_average=not train)(x)
+        x = bn(use_running_average=not train, name="bn7")(x)
         x = nn.relu(x)
         return nn.Dense(self.classes, name="class_classifier")(x)
 

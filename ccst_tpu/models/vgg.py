@@ -271,7 +271,6 @@ def init_params(
     style-bank CLI appeared hung behind a cold decoder init). The weights
     are host-side constants anyway — consumers device_put them.
     """
-    params: Params = {}
     convs = [l for l in arch if isinstance(l, Conv)]
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):

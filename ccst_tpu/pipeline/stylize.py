@@ -272,6 +272,11 @@ def run_calibration(
         bank.append(load_style_stats(stats_path))
 
     engine.calibrate(images, bank, max_images=max_images)
+    if engine.scales is None:
+        raise ValueError(
+            f"engine {engine.engine!r} does not support static calibration "
+            "(use int8-static or int8-fused)"
+        )
     return vgg_fast.save_scales(scales_path_for(cfg), engine.scales)
 
 

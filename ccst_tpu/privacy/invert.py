@@ -125,6 +125,14 @@ def _loaders(cfg: InvertConfig) -> Tuple[ImageBatchLoader, ImageBatchLoader]:
         p, np_ = jax.process_index(), jax.process_count()
         train_idx = train_idx[p::np_]
         val_idx = val_idx[p::np_]
+        if len(train_idx) < cfg.batch_size:
+            # with loop=True + drop_last=True a sub-batch shard would never
+            # enqueue a batch and next() would hang the whole cluster
+            raise ValueError(
+                f"process {p}'s train shard has {len(train_idx)} images < "
+                f"batch_size {cfg.batch_size}: use fewer processes or a "
+                "smaller batch"
+            )
     train = ImageBatchLoader(
         [names[i] for i in train_idx], [labels[i] for i in train_idx],
         batch_size=cfg.batch_size, image_size=cfg.image_size,

@@ -52,9 +52,7 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 def convert_vgg16_features(state_dict) -> Dict[str, Dict[str, Array]]:
     """torchvision ``vgg16.features`` state dict (keys ``features.N.weight``
     or bare ``N.weight``) -> {convN: {w (HWIO), b}}."""
-
-    def to_np(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    from ccst_tpu.models.convert_resnet import _to_np as to_np  # copying
 
     params = {}
     for item in VGG16_PLAN:
@@ -80,9 +78,7 @@ def convert_vgg16_features(state_dict) -> Dict[str, Dict[str, Array]]:
 def convert_lin_heads(state_dict) -> List[Array]:
     """LPIPS linear-head state dict (keys ``lin{i}.model.1.weight``,
     (1, C, 1, 1)) -> list of (C,) non-negative weight vectors."""
-
-    def to_np(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    from ccst_tpu.models.convert_resnet import _to_np as to_np  # copying
 
     lins = []
     for i, c in enumerate(TAP_CHANNELS):

@@ -95,6 +95,29 @@ def test_is_bn_path_predicate():
     assert not is_bn_path((Key("class_classifier"), Key("kernel")))
 
 
+def test_every_zoo_model_bn_matches_fedbn_selector():
+    """Every registry model's BatchNorm modules must be recognized by
+    is_bn_path, or fedbn silently degrades to fedavg for that network
+    (regression: AlexNet's BNs were flax-auto-named TorchBatchNorm_N,
+    which the selector did not match). Module names are shared between
+    the params and batch_stats trees, so checking the batch_stats paths
+    (every one of which belongs to a norm layer by construction) covers
+    the params selection too."""
+    for name, size in [
+        ("alexnet", 63), ("digit", 28), ("resnet18", 36), ("resnet50", 36),
+    ]:
+        model = get_network(name, classes=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+        )
+        leaves = jax.tree_util.tree_flatten_with_path(
+            variables["batch_stats"]
+        )[0]
+        assert leaves, name
+        for path, _ in leaves:
+            assert is_bn_path(path), (name, path)
+
+
 # ---------------------------------------------------------------------------
 # train steps per DG method
 # ---------------------------------------------------------------------------
