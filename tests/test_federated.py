@@ -104,7 +104,7 @@ def test_every_zoo_model_bn_matches_fedbn_selector():
     (every one of which belongs to a norm layer by construction) covers
     the params selection too."""
     for name, size in [
-        ("alexnet", 63), ("digit", 28), ("resnet18", 36), ("resnet50", 36),
+        ("alexnet", 63), ("DigitModel", 28), ("resnet18", 36), ("resnet50", 36),
     ]:
         model = get_network(name, classes=4)
         variables = model.init(
