@@ -20,11 +20,13 @@ Because stylization needs a decoder that actually inverts the encoder, the
 chain first trains one (pipeline/train_decoder.py — the trainer the
 reference omits by downloading decoder.pth).
 
-Three arms, same seeds: no_fusion baseline, adain-overall-K3 with the bf16
-`ref` engine, and the same with the production `int8-static` engine — the
+Four arms, same seeds: no_fusion baseline, adain-overall-K3 with the bf16
+`ref` engine, the same with the production `int8-static` engine — the
 third arm is the downstream-harmlessness evidence VERDICT r2 weak #2 asks
 for (int8 vs bf16 stylization must be statistically indistinguishable in
-target accuracy).
+target accuracy) — and adain-single-K3 through `run_single_transfer`
+(per-batch concrete style images instead of domain banks), validating the
+reference's second transfer mode end-to-end.
 
 Writes EXPERIMENT_SEMANTIC.json. Run: python experiments/semantic_validation.py
 (--quick for the CI-sized variant used by tests/test_semantic_validation.py).
@@ -316,10 +318,15 @@ def _train_stylizer(root: str, size: int, steps: int, enc, init_decoder=""):
 
 def run_chain(
     root: str, size: int, engine_kind: str, seed: int, enc, dec,
+    mode: str = "overall",
 ) -> None:
     """style-bank -> calibrate -> stylize -> reorganize -> gen-lists for every
-    source content domain, producing the adain-overall-K3 fusion lists for
-    target DOMAINS[-1]."""
+    source content domain, producing the adain-{mode}-K3 fusion lists for
+    target DOMAINS[-1].
+
+    ``mode="overall"`` uses the shared domain banks (the paper's headline
+    path); ``mode="single"`` samples one concrete style image per batch from
+    the style-side domain (CCST_SingleStyleTransfer.py semantics)."""
     import jax.numpy as jnp
 
     from ccst_tpu.config import StylizeConfig
@@ -327,6 +334,7 @@ def run_chain(
     from ccst_tpu.pipeline.style_bank import compute_style_bank
     from ccst_tpu.pipeline.stylize import (
         StylizeEngine, run_calibration, run_overall_transfer,
+        run_single_transfer,
     )
 
     target = DOMAINS[-1]
@@ -335,21 +343,27 @@ def run_chain(
         style_stats_dir=os.path.join(root, "style_stats"),
         image_size=size, batch_size=8, seed=seed,
     )
-    for d in DOMAINS:
-        compute_style_bank(StylizeConfig(**base, target=d), d, encoder_params=enc)
+    if mode == "overall":
+        for d in DOMAINS:
+            compute_style_bank(
+                StylizeConfig(**base, target=d), d, encoder_params=enc
+            )
 
     for content in DOMAINS[:-1]:
-        cfg = StylizeConfig(**base, target=content, engine=engine_kind)
+        cfg = StylizeConfig(**base, target=content, engine=engine_kind, mode=mode)
         engine = StylizeEngine(
             enc, dec, dtype=jnp.float32 if engine_kind == "ref" else jnp.bfloat16,
             output_u8=True, engine=engine_kind,
         )
         if engine_kind.startswith("int8"):
             run_calibration(cfg, engine, max_images=8)
-        run_overall_transfer(cfg, engine)
+        if mode == "overall":
+            run_overall_transfer(cfg, engine)
+        else:
+            run_single_transfer(cfg, engine)
 
-    reorganize_unified_tree(root, "shapes4", target, "overall", data_root=root)
-    generate_k_lists(root, "shapes4", target, k=3, mode="overall", seed=seed)
+    reorganize_unified_tree(root, "shapes4", target, mode, data_root=root)
+    generate_k_lists(root, "shapes4", target, k=3, mode=mode, seed=seed)
 
 
 def run_fed(root: str, size: int, fusion_mode: str, seed: int, rounds: int) -> Dict:
@@ -379,6 +393,10 @@ def main() -> None:
                          "bound on the remote chip")
     ap.add_argument("--out", default="EXPERIMENT_SEMANTIC.json")
     ap.add_argument("--workdir", default="")
+    ap.add_argument("--arms", default="no_fusion,bf16,int8,single",
+                    help="comma list of arms to (re)run; arms not listed are "
+                         "carried over from an existing --out artifact, so a "
+                         "new arm can be measured without re-running the grid")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -396,14 +414,32 @@ def main() -> None:
 
     _register(size)
 
-    results: Dict[str, List[Dict]] = {"no_fusion": [], "bf16": [], "int8": []}
+    all_arms = (
+        ("no_fusion", None, "overall"),
+        ("bf16", "ref", "overall"),
+        ("int8", "int8-static", "overall"),
+        ("single", "ref", "single"),
+    )
+    selected = [a.strip() for a in args.arms.split(",") if a.strip()]
+    unknown = set(selected) - {a for a, _, _ in all_arms}
+    if unknown:
+        ap.error(f"unknown arms: {sorted(unknown)}")
+
+    results: Dict[str, List[Dict]] = {a: [] for a, _, _ in all_arms}
+    if len(selected) < len(all_arms) and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f).get("per_arm", {})
+        for a, _, _ in all_arms:
+            if a not in selected:
+                results[a] = prior.get(a, [])
+
     workdir = args.workdir or tempfile.mkdtemp(prefix="ccst_semval_")
     enc = dec_ae_path = None
     for seed in seeds:
         dec = None
-        for arm, engine_kind in (
-            ("no_fusion", None), ("bf16", "ref"), ("int8", "int8-static")
-        ):
+        for arm, engine_kind, mode in all_arms:
+            if arm not in selected:
+                continue
             root = os.path.join(workdir, f"{arm}_s{seed}")
             make_shapes_dataset(root, size, n_per_class, seed=seed)
             fusion = "no_fusion"
@@ -420,18 +456,23 @@ def main() -> None:
                     enc, dec_ae_path = pretrain_encoder(root, size, ae_steps, enc)
                 if dec is None:
                     # per-seed data is identical across arms: one stylizer,
-                    # shared by the bf16 and int8 arms
+                    # shared by every stylized arm
                     dec = _train_stylizer(
                         root, size, dec_steps, enc, init_decoder=dec_ae_path
                     )
-                run_chain(root, size, engine_kind, seed, enc, dec)
-                fusion = "adain-overall-K3"
+                run_chain(root, size, engine_kind, seed, enc, dec, mode=mode)
+                fusion = f"adain-{mode}-K3"
             best = run_fed(root, size, fusion, seed, rounds)
             results[arm].append({"seed": seed, **best})
             print(f"[seed {seed}] {arm}: {best}")
 
     def acc(arm):
         return [r["test_acc"] for r in results[arm]]
+
+    def gain(a, b):
+        if not results[a] or not results[b]:
+            return None
+        return float(np.mean(acc(a)) - np.mean(acc(b)))
 
     summary = {
         "benchmark": (
@@ -442,13 +483,12 @@ def main() -> None:
         "rounds": rounds,
         "n_train_per_domain": n_per_class * len(CLASSES) * 3 // 4,
         "per_arm": results,
-        "mean_test_acc": {a: float(np.mean(acc(a))) for a in results},
-        "ccst_gain_bf16_vs_no_fusion": float(
-            np.mean(acc("bf16")) - np.mean(acc("no_fusion"))
-        ),
-        "int8_vs_bf16_gap": float(
-            np.mean(acc("int8")) - np.mean(acc("bf16"))
-        ),
+        "mean_test_acc": {
+            a: float(np.mean(acc(a))) for a in results if results[a]
+        },
+        "ccst_gain_bf16_vs_no_fusion": gain("bf16", "no_fusion"),
+        "int8_vs_bf16_gap": gain("int8", "bf16"),
+        "ccst_gain_single_vs_no_fusion": gain("single", "no_fusion"),
         "per_seed_gain": [
             b - n for b, n in zip(acc("bf16"), acc("no_fusion"))
         ],

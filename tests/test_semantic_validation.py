@@ -47,6 +47,18 @@ def test_quick_chain(tmp_path):
 
     base = sv.run_fed(root, size, "no_fusion", seed=1, rounds=1)
     fused = sv.run_fed(root, size, "adain-overall-K3", seed=1, rounds=1)
-    for r in (base, fused):
+
+    # single-mode chain (concrete per-batch style images, no domain banks)
+    sroot = str(tmp_path / "single")
+    sv.make_shapes_dataset(sroot, size, n_per_class=6, seed=1)
+    sv.run_chain(sroot, size, "ref", seed=1, enc=enc, dec=dec, mode="single")
+    single_list = os.path.join(
+        sroot, "txt_lists", "shapes4_adain-single-K3", target,
+        f"{sv.DOMAINS[0]}_train.txt",
+    )
+    assert os.path.exists(single_list), single_list
+    single = sv.run_fed(sroot, size, "adain-single-K3", seed=1, rounds=1)
+
+    for r in (base, fused, single):
         assert 0.0 <= r["test_acc"] <= 1.0
         assert r["round"] >= 0
