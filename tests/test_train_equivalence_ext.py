@@ -319,7 +319,8 @@ def test_jigsaw_step_equivalence():
     rng_key = jax.random.PRNGKey(11)
     _, k_dg = jax.random.split(rng_key)
     jig_images, jig_labels = jigsaw_batch(k_dg, jnp.asarray(x), 30, 0.9)
-    jig_images_np = np.asarray(jig_images)
+    jig_images_np = np.array(jig_images)  # writable copy: torch warns on
+    # zero-copy views of JAX buffers (and silently aliases them)
     jig_labels_np = np.asarray(jig_labels)
 
     # torch: same permuted batch through the twin
