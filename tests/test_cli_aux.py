@@ -1,0 +1,161 @@
+"""CLI wiring for the auxiliary subcommands.
+
+test_cli.py drives the main chain (style-bank -> stylize -> reorganize ->
+gen-lists -> fed-train -> fed-test -> summarize) plus calibrate; the
+underlying functions of the remaining subcommands are all unit-tested, but
+their argparse->function wiring was not. These smokes close that:
+amp-bank, filter-blank, split-data, train-decoder, gan-train (incl. the
+--fid-samples closing metric), invert-train -> invert-eval.
+
+(`bench` is intentionally absent: it is the device benchmark and belongs on
+the real chip, not the CI mesh.)
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ccst_tpu.cli import main as cli_main
+from ccst_tpu.data.lists import parse_list, write_list
+from ccst_tpu.data.loader import save_image_u8
+
+DOMAINS = ["art_painting", "cartoon", "photo", "sketch"]
+
+
+def run_cli(*argv):
+    return cli_main(list(argv))
+
+
+@pytest.fixture
+def aux_dataset(tmp_path, rng):
+    """Synthetic PACS-shaped tree at 32px (power-of-2 for the GAN/inverter
+    generators), incl. two near-blank images to exercise filter-blank."""
+    root = str(tmp_path)
+    for d in DOMAINS:
+        names, labels = [], []
+        for ci, cls in enumerate(["dog", "horse"]):
+            for i in range(3):
+                rel = f"PACS/kfold/{d}/{cls}/img{i}.png"
+                base = 0.3 if ci == 0 else 0.7
+                save_image_u8(
+                    np.clip(rng.normal(base, 0.1, (32, 32, 3)), 0, 1).astype(
+                        np.float32
+                    ),
+                    os.path.join(root, rel),
+                )
+                names.append(rel)
+                labels.append(ci)
+        # a blank-white and a blank-black patch (camelyon17-style discards)
+        for blank_i, val in ((0, 0.999), (1, 0.001)):
+            rel = f"PACS/kfold/{d}/dog/blank{blank_i}.png"
+            save_image_u8(
+                np.full((32, 32, 3), val, np.float32), os.path.join(root, rel)
+            )
+            names.append(rel)
+            labels.append(0)
+        write_list(
+            os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"),
+            names, labels,
+        )
+        write_list(
+            os.path.join(root, "txt_lists", "pacs", f"{d}_test.txt"),
+            names[:2], labels[:2],
+        )
+    return root
+
+
+def test_cli_filter_blank_and_split_data(aux_dataset, capsys):
+    root = aux_dataset
+    assert run_cli(
+        "filter-blank", "--dataset", "pacs",
+        "--list-root", root, "--data-root", root,
+    ) == 0
+    filtered = os.path.join(
+        root, "txt_lists", "pacs_discardBlackWhite", "art_painting_train.txt"
+    )
+    assert os.path.exists(filtered)
+    names, _ = parse_list(filtered)
+    assert len(names) == 6  # both blanks dropped, real images kept
+    assert not any("blank" in n for n in names)
+
+    # split-data over the same image tree into a fresh list root
+    split_root = os.path.join(root, "split_lists")
+    assert run_cli(
+        "split-data", "--dataset", "pacs", "--data-root", root,
+        "--list-root", split_root, "--tree-subdir", "PACS/kfold",
+        "--train-fraction", "0.75", "--seed", "3",
+    ) == 0
+    tr = os.path.join(split_root, "txt_lists", "pacs", "cartoon_train.txt")
+    te = os.path.join(split_root, "txt_lists", "pacs", "cartoon_test.txt")
+    tr_names, _ = parse_list(tr)
+    te_names, _ = parse_list(te)
+    assert len(tr_names) + len(te_names) == 8  # 6 real + 2 blanks
+    assert set(tr_names).isdisjoint(te_names)
+
+
+def test_cli_amp_bank(aux_dataset, capsys):
+    root = aux_dataset
+    assert run_cli(
+        "amp-bank", "--dataset", "pacs", "--domain", "cartoon",
+        "--list-root", root, "--data-root", root,
+        "--out-root", root, "--image-size", "32",
+    ) == 0
+    amp = np.load(os.path.join(root, "PACS/kfold_amp/cartoon/dog/img0.npy"))
+    assert amp.shape == (3, 32, 32)
+
+
+def test_cli_train_decoder(aux_dataset, capsys):
+    root = aux_dataset
+    out = os.path.join(root, "dec.npz")
+    assert run_cli(
+        "train-decoder", "--dataset", "pacs",
+        "--domains", "art_painting,cartoon",
+        "--list-root", root, "--data-root", root,
+        "--image-size", "32", "--batch-size", "2", "--steps", "2",
+        "--out-path", out,
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(out)
+    assert np.isfinite(report["final_loss_c"])
+    assert np.isfinite(report["final_loss_s"])
+
+
+def test_cli_gan_train_with_fid(aux_dataset, capsys):
+    root = aux_dataset
+    out_dir = os.path.join(root, "gan")
+    assert run_cli(
+        "gan-train", "--dataset", "pacs", "--source", "cartoon",
+        "--list-root", root, "--data-root", root, "--out-dir", out_dir,
+        "--image-size", "32", "--latent-dim", "16", "--fmap-max", "16",
+        "--batch-size", "2", "--steps", "1", "--log-every", "1",
+        "--gp-weight", "10.0", "--fid-samples", "2",
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["steps"] == 1
+    assert np.isfinite(report["d_loss"])
+    assert report["fid_vgg"] >= 0.0
+    assert os.path.exists(os.path.join(out_dir, "gan_pacs_cartoon.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "sample_0.png"))
+
+
+def test_cli_invert_train_then_eval(aux_dataset, capsys):
+    root = aux_dataset
+    out_dir = os.path.join(root, "inverter")
+    assert run_cli(
+        "invert-train", "--dataset", "pacs", "--source", "sketch",
+        "--list-root", root, "--data-root", root, "--out-dir", out_dir,
+        "--image-size", "32", "--batch-size", "2", "--steps", "6",
+    ) == 0
+    ckpt = os.path.join(out_dir, "pacs", "sketch_inverter.ckpt")
+    assert os.path.exists(ckpt)
+    assert run_cli(
+        "invert-eval", "--dataset", "pacs", "--source", "sketch",
+        "--list-root", root, "--data-root", root, "--out-dir", out_dir,
+        "--image-size", "32", "--batch-size", "2",
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(report["psnr_mean"])
+    # reconstructions + the reference-layout metric npy were written
+    recon_dir = os.path.join(out_dir, "pacs", "recon_sketch")
+    assert os.listdir(recon_dir)
