@@ -96,9 +96,46 @@ def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16):
     return mae_q, mae_b, mae_q / span
 
 
+def _backend_watchdog(timeout_s: float = 600.0) -> None:
+    """Fail fast (with a diagnostic JSON line) if the TPU backend cannot
+    initialize. The tunnel's pool grant is exclusive and can wedge if a
+    previous client died mid-claim (benchmarks/README.md operational rule);
+    in that state ``jax.devices()`` hangs forever, which would silently eat
+    the whole bench run. A visible error beats an invisible hang."""
+    import threading
+
+    done = threading.Event()
+
+    def arm():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "stylize_img_per_sec_512px",
+                        "value": None,
+                        "unit": "img/s",
+                        "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                        "(wedged pool grant? see benchmarks/README.md); "
+                        "last good on-chip runs: 1108.6 and 1109.12 img/s "
+                        "(docs/STATUS.md round-3)",
+                    }
+                ),
+                flush=True,
+            )
+            import os as _os
+
+            _os._exit(3)
+
+    threading.Thread(target=arm, daemon=True).start()
+    jax.devices()  # blocks until the backend is up (or the watchdog fires)
+    done.set()
+
+
 def main() -> None:
     from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+
+    _backend_watchdog()
 
     # int8 batch from the measured sweep (962 @32, 1051 @64, 1066 @96,
     # 1110 @128, 1036 @192 dip, 1107 @256 — XLA per-op overheads amortize;
