@@ -699,3 +699,180 @@ def test_ten_round_drift_curve():
     want = tserver.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
     got = np.asarray(jserver["Conv_0"]["kernel"])
     assert np.max(np.abs(got - want)) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# AlexNet (nets/models.py:7-62) — the last zoo member without a torch twin.
+# Exercises 11x11/s4 convs, floor-mode 3x2 maxpools, the identity
+# AdaptiveAvgPool2d((6,6)) at the canonical 224px, and — the actual risk —
+# BatchNorm1d(4096) at batch 4 under fedbn, where torch's unbiased running
+# variance differs from the biased batch variance by 4/3 (the exact case
+# TorchBatchNorm exists for, models/layers.py docstring).
+# ---------------------------------------------------------------------------
+
+ALEX_IMG = 224
+
+
+class TorchAlexNet(nn.Module):
+    """Twin of our AlexNet == the reference's (nets/models.py:7-62)."""
+
+    def __init__(self, classes=N_CLASSES):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 11, stride=4, padding=2)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = nn.Conv2d(64, 192, 5, padding=2)
+        self.bn2 = nn.BatchNorm2d(192)
+        self.conv3 = nn.Conv2d(192, 384, 3, padding=1)
+        self.bn3 = nn.BatchNorm2d(384)
+        self.conv4 = nn.Conv2d(384, 256, 3, padding=1)
+        self.bn4 = nn.BatchNorm2d(256)
+        self.conv5 = nn.Conv2d(256, 256, 3, padding=1)
+        self.bn5 = nn.BatchNorm2d(256)
+        self.fc1 = nn.Linear(256 * 6 * 6, 4096)
+        self.bn6 = nn.BatchNorm1d(4096)
+        self.fc2 = nn.Linear(4096, 4096)
+        self.bn7 = nn.BatchNorm1d(4096)
+        self.fc3 = nn.Linear(4096, classes)
+
+    def forward(self, x):
+        x = F.max_pool2d(F.relu(self.bn1(self.conv1(x))), 3, 2)
+        x = F.max_pool2d(F.relu(self.bn2(self.conv2(x))), 3, 2)
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = F.relu(self.bn4(self.conv4(x)))
+        x = F.max_pool2d(F.relu(self.bn5(self.conv5(x))), 3, 2)
+        # 224px -> 6x6 here, so AdaptiveAvgPool2d((6,6)) is identity (the
+        # flax side resizes only when the spatial size is not already 6)
+        x = x.permute(0, 2, 3, 1).flatten(1)  # NHWC flatten order
+        x = F.relu(self.bn6(self.fc1(x)))
+        x = F.relu(self.bn7(self.fc2(x)))
+        return self.fc3(x)
+
+
+def alexnet_state_from_torch(tmodel, jmodel):
+    variables = jmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, ALEX_IMG, ALEX_IMG, 3)),
+        train=False,
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    for i, ti in enumerate(["conv1", "conv2", "conv3", "conv4", "conv5"]):
+        params[f"Conv_{i}"]["kernel"] = sd[f"{ti}.weight"].transpose(2, 3, 1, 0)
+        params[f"Conv_{i}"]["bias"] = sd[f"{ti}.bias"]
+    for ji, ti in [("Dense_0", "fc1"), ("Dense_1", "fc2"),
+                   ("class_classifier", "fc3")]:
+        params[ji]["kernel"] = sd[f"{ti}.weight"].T
+        params[ji]["bias"] = sd[f"{ti}.bias"]
+    for bn in ("bn1", "bn2", "bn3", "bn4", "bn5", "bn6", "bn7"):
+        params[bn]["scale"] = sd[f"{bn}.weight"]
+        params[bn]["bias"] = sd[f"{bn}.bias"]
+        stats[bn]["mean"] = sd[f"{bn}.running_mean"]
+        stats[bn]["var"] = sd[f"{bn}.running_var"]
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    return {"params": to_j(params), "batch_stats": to_j(stats)}
+
+
+def test_alexnet_forward_parity(rng):
+    torch.manual_seed(7)
+    tmodel = TorchAlexNet().eval()
+    jmodel = get_network("alexnet", classes=N_CLASSES)
+    state = alexnet_state_from_torch(tmodel, jmodel)
+    x = rng.random((2, ALEX_IMG, ALEX_IMG, 3), np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    got = jmodel.apply(
+        {"params": state["params"], "batch_stats": state["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_alexnet_fedbn_step_equivalence(rng):
+    """One fedbn round, 2 steps x 2 clients at 224px: per-step losses track
+    to fp noise and the round's post-aggregation running stats agree —
+    incl. bn6/bn7's BatchNorm1d(4096) unbiased running-var update at
+    batch 4 (a 33% biased-vs-unbiased gap if mishandled)."""
+    torch.manual_seed(11)
+    tmodel = TorchAlexNet()
+    jmodel = get_network("alexnet", classes=N_CLASSES)
+    state0 = alexnet_state_from_torch(tmodel, jmodel)
+    n_steps = 2
+    batches = [
+        [
+            (rng.random((BATCH, ALEX_IMG, ALEX_IMG, 3), np.float32),
+             rng.integers(0, N_CLASSES, BATCH).astype(np.int64))
+            for _ in range(n_steps)
+        ]
+        for _ in range(N_CLIENTS)
+    ]
+
+    tserver = copy.deepcopy(tmodel)
+    tclients = [copy.deepcopy(tserver) for _ in range(N_CLIENTS)]
+    tlosses = [
+        torch_local_epoch(tclients[ci], tserver, batches[ci], "fedbn")
+        for ci in range(N_CLIENTS)
+    ]
+    torch_communicate("fedbn", tserver, tclients, [0.5, 0.5])
+
+    step = jax.jit(
+        make_train_step(
+            jmodel, n_classes=N_CLASSES, image_size=ALEX_IMG, lr=LR,
+            mode="fedbn", transform_on_device=False,
+        )
+    )
+    states = [jax.tree.map(jnp.copy, state0) for _ in range(N_CLIENTS)]
+    server_params = state0["params"]
+    jlosses = [[] for _ in range(N_CLIENTS)]
+    for ci in range(N_CLIENTS):
+        for si, (x, y) in enumerate(batches[ci]):
+            batch = {
+                "images": jnp.asarray(x),
+                "labels": jnp.asarray(y, jnp.int32),
+                "mask": jnp.ones((BATCH,), jnp.float32),
+            }
+            states[ci], m = step(
+                states[ci], server_params, batch,
+                jax.random.PRNGKey(0), jnp.asarray(si),
+            )
+            jlosses[ci].append(float(m.loss))
+    sp, _, ncp, ncs = aggregate(
+        "fedbn",
+        stack_clients([s["params"] for s in states]),
+        stack_clients([s["batch_stats"] for s in states]),
+        jnp.full((N_CLIENTS,), 0.5),
+    )
+
+    # Tolerance model (measured, see module docstring): step 1 runs from
+    # identical weights and must match to fp noise; step 2 runs after one
+    # SGD update over 32k ReLU sites (fc1/fc2 are 4096-wide), where single
+    # near-zero ties flip between frameworks — measured excursion 5e-4 to
+    # 1.1e-2 on this stream with params still tracking at ~1e-3.
+    deltas = np.abs(np.asarray(jlosses) - np.asarray(tlosses))
+    np.testing.assert_array_less(
+        deltas[:, 0], 1e-4, err_msg=f"first-step mismatch: j={jlosses} t={tlosses}"
+    )
+    np.testing.assert_array_less(
+        deltas, 0.05, err_msg=f"losses diverged: j={jlosses} t={tlosses}"
+    )
+    # fedbn keeps BN local: client 0's running stats (incl. the BN1d pair)
+    # must match its torch twin after the round (unbiased-update semantics;
+    # rtol covers the flip-perturbed batch-2 activations)
+    new_stats = unstack_clients(ncs, N_CLIENTS)[0]
+    tsd = {k: v.detach().numpy() for k, v in tclients[0].state_dict().items()}
+    for bn in ("bn1", "bn5", "bn6", "bn7"):
+        np.testing.assert_allclose(
+            np.asarray(new_stats[bn]["var"]), tsd[f"{bn}.running_var"],
+            rtol=5e-3, atol=1e-5, err_msg=bn,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_stats[bn]["mean"]), tsd[f"{bn}.running_mean"],
+            rtol=5e-3, atol=1e-3, err_msg=bn,  # atol: near-zero channel
+            # means pick up ~1e-4 absolute offsets from the flip-perturbed
+            # step-2 activations (mean magnitude is ~0.2)
+        )
+    # non-BN server weights averaged to the same place (per-element drift
+    # bounded by the measured flip excursion)
+    want = tserver.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(sp["Conv_0"]["kernel"]), want, atol=5e-3
+    )
