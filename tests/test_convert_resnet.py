@@ -77,3 +77,39 @@ def test_load_imagenet_resnet_from_pth(tmp_path):
         np.asarray(p["class_classifier"]["kernel"]),
         np.asarray(variables["params"]["class_classifier"]["kernel"]),
     )
+
+
+def test_resnet50_conversion_forward_parity(rng):
+    """Bottleneck path of the converter (the reference also loads pretrained
+    resnet50, nets/resnet.py:339-345,350-370): 3 convs per block plus the
+    downsample conv landing on the block's LAST Conv_i, across all 16
+    blocks/4 stages."""
+    from tests.torch_ref import TorchResNet50
+
+    torch.manual_seed(1)
+    tmodel = TorchResNet50(classes=1000).eval()
+    with torch.no_grad():
+        tmodel(torch.randn(4, 3, 64, 64))  # non-trivial running stats
+
+    model = get_network("resnet50", classes=7)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params, stats = convert_torchvision_resnet(
+        tmodel.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    params = dict(params)
+    params["class_classifier"] = {
+        "kernel": jnp.asarray(tmodel.fc.weight.detach().numpy().T[:, :7]),
+        "bias": jnp.asarray(tmodel.fc.bias.detach().numpy()[:7]),
+    }
+
+    imgs = rng.random((2, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)).copy()))
+    ours = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(imgs),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy()[:, :7], rtol=1e-3, atol=2e-4
+    )

@@ -140,3 +140,63 @@ class TorchResNet18(nn.Module):
             x = getattr(self, f"layer{li}")(x)
         x = self.avgpool(x).flatten(1)
         return self.fc(x)
+
+
+class TorchBottleneck(nn.Module):
+    """torchvision v1.5 Bottleneck (stride on the 3x3), state-dict-compatible."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet50(nn.Module):
+    """torchvision-compatible resnet50 skeleton (state-dict keys match)."""
+
+    def __init__(self, classes=1000):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for li, (planes, n_blocks) in enumerate(
+            zip((64, 128, 256, 512), (3, 4, 6, 3)), start=1
+        ):
+            blocks = []
+            for bi in range(n_blocks):
+                stride = 2 if (li > 1 and bi == 0) else 1
+                downsample = None
+                if stride != 1 or inplanes != planes * 4:
+                    downsample = nn.Sequential(
+                        nn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                        nn.BatchNorm2d(planes * 4),
+                    )
+                blocks.append(TorchBottleneck(inplanes, planes, stride, downsample))
+                inplanes = planes * 4
+            setattr(self, f"layer{li}", nn.Sequential(*blocks))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
