@@ -116,3 +116,23 @@ def test_digitmodel():
 def test_registry_unknown():
     with pytest.raises(ValueError):
         get_network("nope", classes=2)
+
+
+def test_densenet_dg_variants():
+    """JigsawDenseNet / MixStyleDenseNet (nets/densenet.py:110-139): the
+    factory's dg_method flags apply to densenet too."""
+    m = get_network("densenet", classes=3, dg_method="jigsaw")
+    v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 36, 36, 3)), train=False)
+    logits, jig = m.apply(v, jnp.ones((2, 36, 36, 3)), train=False)
+    assert logits.shape == (2, 3) and jig.shape == (2, 31)
+
+    m = get_network("densenet", classes=3, dg_method="mixstyle")
+    v = m.init(
+        {"params": jax.random.PRNGKey(0), "mixstyle": jax.random.PRNGKey(1)},
+        jnp.ones((2, 36, 36, 3)), train=True,
+    )
+    out = m.apply(
+        v, jnp.ones((2, 36, 36, 3)), train=True,
+        rngs={"mixstyle": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 3)
