@@ -381,8 +381,10 @@ def test_feddg_meta_step_equivalence(rng):
     rng_key = jax.random.PRNGKey(17)
     _, k_dg = jax.random.split(rng_key)
     # precompute BOTH views exactly as the production step does
-    images_n = np.asarray(eval_transform(jnp.asarray(x), IMG))
-    freq_n = np.asarray(
+    # np.array (writable copies): torch.from_numpy on zero-copy views of
+    # JAX buffers warns and would alias device memory if written
+    images_n = np.array(eval_transform(jnp.asarray(x), IMG))
+    freq_n = np.array(
         eval_transform(
             feddg_batch_augment(k_dg, jnp.asarray(x), jnp.asarray(amp_bank), L=0.0),
             IMG,
