@@ -209,3 +209,30 @@ def test_plot_runs(tmp_path):
 
     assert cli_main(["plot", *paths, "-o", str(tmp_path / "cli.png")]) == 0
     assert os.path.exists(tmp_path / "cli.png")
+
+
+def test_profiling_helpers(tmp_path):
+    """utils/profiling: StageTimer's reference-style record and maybe_trace's
+    trace-capture/no-op contract (SURVEY §5.1)."""
+    import jax.numpy as jnp
+
+    from ccst_tpu.utils.profiling import StageTimer, maybe_trace
+
+    t = StageTimer()
+    t.add(4)
+    t.add(2)
+    rec = t.report(stage="stylize")
+    assert rec["images"] == 6 and rec["stage"] == "stylize"
+    assert rec["images_per_sec"] > 0 and rec["seconds"] >= 0
+
+    with maybe_trace(None):  # no-op path
+        pass
+    trace_dir = str(tmp_path / "trace")
+    with maybe_trace(trace_dir):
+        jnp.square(jnp.arange(8.0)).block_until_ready()
+    captured = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(trace_dir)
+        for f in fs
+    ]
+    assert captured, "jax.profiler trace produced no files"
