@@ -609,11 +609,23 @@ def test_fedbn_server_eval_parity():
                 states[ci], state0["params"], batch, jax.random.PRNGKey(0),
                 jnp.asarray(si),
             )
+    stacked_stats = stack_clients([s["batch_stats"] for s in states])
     sp, ss, _, _ = aggregate(
         "fedbn",
         stack_clients([s["params"] for s in states]),
-        stack_clients([s["batch_stats"] for s in states]),
+        stacked_stats,
         jnp.asarray([0.5, 0.5]),
+    )
+    # the standalone test_fedbn helper must agree with what aggregate
+    # already folded into the server state
+    from ccst_tpu.federated.aggregate import rebroadcast_bn_to_server
+
+    direct = rebroadcast_bn_to_server(stacked_stats, jnp.asarray([0.5, 0.5]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        direct, ss,
     )
 
     xe = rng.random((4, 28, 28, 3), np.float32)
