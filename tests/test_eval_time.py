@@ -162,3 +162,53 @@ def test_iidmax_policy():
         pol.update(tree_of(float(i)), a, lambda p: float(np.asarray(p["w"])[0]) / 10, i)
     final = pol.get_final()
     assert final is not None
+
+
+def test_tent_drivers(rng, tmp_path):
+    """The two reference tent entry points (fed_run.py:261-347): whole-stream
+    multi-epoch adaptation (`tent_test`, CLI `fed-test --tent`) and K-steps-
+    per-batch on-the-fly scoring (`tent_test_on_the_fly`)."""
+    from ccst_tpu.data.loader import Batch
+    from ccst_tpu.federated.tent import tent_test, tent_test_on_the_fly
+    from ccst_tpu.utils.metrics import MetricsLogger
+
+    model, state = small_state()
+
+    class FakeLoader:
+        """Two fixed batches, the second partially padded."""
+
+        def __iter__(self):
+            r = np.random.default_rng(5)
+            for valid in (4, 3):
+                yield Batch(
+                    images=r.random((4, 36, 36, 3), np.float32),
+                    labels=r.integers(0, 4, 4).astype(np.int64),
+                    valid=valid,
+                    paths=[""] * 4,
+                )
+
+    log_path = str(tmp_path / "tent.jsonl")
+    logger = MetricsLogger(log_path, echo=False)
+    new_state, acc = tent_test(
+        model, state, FakeLoader(), image_size=36, lr=0.05, epochs=2,
+        logger=logger,
+    )
+    assert 0.0 <= acc <= 1.0
+    # adaptation really happened (BN affine moved) but convs are frozen
+    assert not np.allclose(
+        np.asarray(state["params"]["bn1"]["scale"]),
+        np.asarray(new_state["params"]["bn1"]["scale"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["conv1"]["kernel"]),
+        np.asarray(new_state["params"]["conv1"]["kernel"]),
+    )
+
+    acc_fly = tent_test_on_the_fly(
+        model, state, FakeLoader(), image_size=36, lr=0.05,
+        steps_per_batch=2, logger=logger,
+    )
+    logger.close()
+    assert 0.0 <= acc_fly <= 1.0
+    lines = open(log_path).read()
+    assert "tent_epoch" in lines and "tent_on_the_fly" in lines
