@@ -197,11 +197,13 @@ def cmd_reorganize(args) -> int:
 
 
 def cmd_gen_lists(args) -> int:
+    from ccst_tpu.config import FusionConfig
     from ccst_tpu.data.lists import generate_k_lists
 
+    cfg = _dataclass_from_args(FusionConfig, args)
     written = generate_k_lists(
-        args.list_root, args.dataset, args.target, args.k,
-        mode=args.mode, style_family=args.style, seed=args.seed,
+        args.list_root, cfg.dataset, cfg.target, cfg.k,
+        mode=cfg.mode, style_family=cfg.style, seed=cfg.seed,
     )
     for client, path in written.items():
         print(f"{client}: {path}")

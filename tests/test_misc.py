@@ -236,3 +236,16 @@ def test_profiling_helpers(tmp_path):
         for f in fs
     ]
     assert captured, "jax.profiler trace produced no files"
+
+
+def test_mesh_config_axis_sizes():
+    from ccst_tpu.config import MeshConfig
+
+    assert MeshConfig(client=2, data=-1).axis_sizes(8) == {
+        "client": 2, "data": 4, "model": 1
+    }
+    assert MeshConfig(client=1, data=1, model=8).axis_sizes(8)["model"] == 8
+    with pytest.raises(ValueError, match="not divisible"):
+        MeshConfig(client=3, data=-1).axis_sizes(8)
+    with pytest.raises(ValueError, match="one mesh axis"):
+        MeshConfig(client=-1, data=-1).axis_sizes(8)
