@@ -24,7 +24,6 @@ Driven end-to-end by tests/test_multihost.py::test_cli_multihost_fed_train.
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Any, Dict, Iterator, List, Optional
 

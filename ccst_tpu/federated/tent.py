@@ -19,7 +19,6 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ccst_tpu.federated.aggregate import is_bn_path
 from ccst_tpu.ops.image import eval_transform

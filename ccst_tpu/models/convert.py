@@ -10,7 +10,6 @@ Also supports a portable ``.npz`` native format for converted weights.
 """
 from __future__ import annotations
 
-import os
 from typing import Mapping, Sequence
 
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ aggregated server params agree bitwise on every host).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

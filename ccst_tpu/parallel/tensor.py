@@ -20,7 +20,7 @@ tests/test_parallel.py and exercised by ``__graft_entry__.dryrun_multichip``.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -21,9 +21,8 @@ that surface, keeping its load-bearing ideas:
 """
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

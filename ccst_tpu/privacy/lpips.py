@@ -24,7 +24,7 @@ checkpoint bytes (tests/test_lpips.py).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
