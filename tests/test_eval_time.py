@@ -212,3 +212,32 @@ def test_tent_drivers(rng, tmp_path):
     assert 0.0 <= acc_fly <= 1.0
     lines = open(log_path).read()
     assert "tent_epoch" in lines and "tent_on_the_fly" in lines
+
+
+def test_swa_update_bn(rng):
+    """swa_utils.update_bn counterpart: streaming the data once replaces the
+    EMA running stats with plain batch-mean statistics of the given params."""
+    from ccst_tpu.data.loader import Batch
+    from ccst_tpu.utils.swa import swa_update_bn
+
+    model, state = small_state()
+
+    class OneBatch:
+        def __iter__(self):
+            r = np.random.default_rng(3)
+            yield Batch(
+                images=r.random((8, 36, 36, 3), np.float32),
+                labels=r.integers(0, 4, 8).astype(np.int64),
+                valid=8,
+                paths=[""] * 8,
+            )
+
+    fresh = swa_update_bn(model, state["params"], OneBatch(), image_size=36)
+    assert set(fresh) == set(state["batch_stats"])
+    # stats moved away from the init (zero-mean/unit-var) toward the data
+    assert not np.allclose(
+        np.asarray(fresh["bn1"]["mean"]),
+        np.asarray(state["batch_stats"]["bn1"]["mean"]),
+    )
+    for leaf in jax.tree.leaves(fresh):
+        assert np.all(np.isfinite(np.asarray(leaf)))

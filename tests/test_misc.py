@@ -249,3 +249,45 @@ def test_mesh_config_axis_sizes():
         MeshConfig(client=3, data=-1).axis_sizes(8)
     with pytest.raises(ValueError, match="one mesh axis"):
         MeshConfig(client=-1, data=-1).axis_sizes(8)
+
+
+def test_amplitude_spectrum_matches_numpy(rng):
+    from ccst_tpu.ops.fft_aug import amplitude_spectrum
+
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    got = np.asarray(amplitude_spectrum(jnp.asarray(img)))
+    want = np.abs(np.fft.fft2(img.transpose(2, 0, 1), axes=(-2, -1)))
+    assert got.shape == (3, 16, 16)  # CHW, the reference bank layout
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_export_rounds_xlsx_falls_back_to_csv(tmp_path):
+    """openpyxl is absent in this env: the xlsx exporter must degrade to the
+    CSV path rather than crash (utils/excel_log.py:37-43)."""
+    import json as _json
+
+    from ccst_tpu.utils.excel_log import export_rounds_xlsx
+
+    p = str(tmp_path / "run.jsonl")
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps(
+                {"event": "round", "round": i, "val_acc_mean": 0.5 + i / 10}
+            ) + "\n")
+    out = export_rounds_xlsx(p)
+    assert os.path.exists(out)
+    body = open(out).read()
+    assert "val_acc_mean" in body and "0.7" in body
+
+
+def test_count_params():
+    from ccst_tpu.models import vgg
+
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    n = vgg.count_params(enc)
+    # VGG-19 [:relu4_1] + the 1x1 RGB layer: a fixed, known parameter count
+    assert n == sum(
+        int(np.prod(np.asarray(p).shape))
+        for layer in enc.values() for p in layer.values()
+    )
+    assert n > 3_000_000
