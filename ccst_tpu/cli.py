@@ -93,38 +93,78 @@ def cmd_style_bank(args) -> int:
     return 0
 
 
-def _load_scales_for(cfg):
+def _load_scales_for(cfg, enc=None, dec=None):
     """Resolve the int8 calibration artifact for a stylize run: an explicit
     ``--scales PATH`` must exist; with no flag, the `calibrate` subcommand's
     default path is picked up automatically when present (so
-    calibrate-then-stylize is deterministic without extra flags)."""
+    calibrate-then-stylize is deterministic without extra flags).
+
+    When the engine weights are given, the artifact's weights fingerprint is
+    checked (vgg_fast.weights_fingerprint): an explicit ``--scales`` that
+    belongs to different weights is an error; a stale auto-pickup is skipped
+    with a warning (the engine then self-calibrates) — either way, stale
+    clipping ranges are never applied silently."""
     if cfg.engine not in ("int8-static", "int8-fused"):
         return None
-    from ccst_tpu.models.vgg_fast import load_scales
+    from ccst_tpu.models.vgg_fast import load_scales, weights_fingerprint
     from ccst_tpu.pipeline.stylize import scales_path_for
 
+    fp = ""
+    if enc is not None and dec is not None:
+        fp = weights_fingerprint(enc, dec)
     if cfg.scales:
-        return load_scales(cfg.scales)
+        return load_scales(cfg.scales, expect_fingerprint=fp)
     default = scales_path_for(cfg)
     if os.path.exists(default):
+        try:
+            scales = load_scales(default, expect_fingerprint=fp)
+        except ValueError as e:
+            print(f"[warn] ignoring stale calibration: {e}")
+            return None
         print(f"[info] loading int8 calibration from {default}")
-        return load_scales(default)
+        return scales
     return None
 
 
+def _env_int(name: str) -> int:
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return 0
+    try:
+        return int(raw)
+    except ValueError:
+        raise SystemExit(f"{name}={raw!r} is not an integer")
+
+
 def _multiproc_requested(coordinator: str, num_procs: int) -> bool:
-    """True when a multi-process launch is requested via flags OR any of the
-    CCST_* env equivalents (multihost.initialize:40-50). On TPU pods the
-    coordinator is auto-detected, so CCST_NUM_PROCS/CCST_PROC_ID alone must
-    also trigger cluster initialization — otherwise every host would
-    silently run a full single-host training and race on the output paths."""
+    """True when a multi-process launch is requested via flags or the
+    CCST_COORDINATOR / CCST_NUM_PROCS env equivalents
+    (multihost.initialize:40-50).
+
+    A bare CCST_PROC_ID with no coordinator/world size does NOT count: it is
+    most likely stale shell state, and jax.distributed.initialize(None,
+    None, 0) fails outside TPU-pod auto-detection anyway."""
     return bool(
         coordinator
         or num_procs > 1
         or os.environ.get("CCST_COORDINATOR")
-        or int(os.environ.get("CCST_NUM_PROCS", "0")) > 1
-        or os.environ.get("CCST_PROC_ID")
+        or _env_int("CCST_NUM_PROCS") > 1
     )
+
+
+def _maybe_init_multiproc(coordinator: str, num_procs: int, proc_id: int) -> bool:
+    """Join the jax.distributed cluster when requested; returns whether it
+    did. Must run BEFORE any backend use."""
+    if not _multiproc_requested(coordinator, num_procs):
+        return False
+    from ccst_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=coordinator or None,
+        num_processes=num_procs if num_procs > 0 else None,
+        process_id=proc_id if proc_id >= 0 else None,
+    )
+    return True
 
 
 def cmd_calibrate(args) -> int:
@@ -145,7 +185,11 @@ def cmd_calibrate(args) -> int:
         engine=cfg.engine if cfg.engine in ("int8-static", "int8-fused")
         else "int8-static",
     )
-    path = run_calibration(cfg, engine, max_images=args.max_images)
+    # --scales doubles as the output path here (stylize --scales then
+    # reads the same artifact); default: next to the style banks
+    path = run_calibration(
+        cfg, engine, max_images=args.max_images, out_path=cfg.scales
+    )
     print(json.dumps({"scales_path": path, "n_scales": len(engine.scales)}))
     return 0
 
@@ -162,7 +206,7 @@ def cmd_stylize(args) -> int:
 
     cfg = _dataclass_from_args(StylizeConfig, args)
     enc, dec = _load_engine_params(args)
-    scales = _load_scales_for(cfg)
+    scales = _load_scales_for(cfg, enc, dec)
     engine = StylizeEngine(
         enc, dec, dtype=jnp.dtype(cfg.dtype), output_size=cfg.output_size,
         output_u8=True,  # quantize on device: 4x less device->host traffic
@@ -229,16 +273,15 @@ def cmd_fed_train(args) -> int:
     from ccst_tpu.config import FedConfig
 
     cfg = _dataclass_from_args(FedConfig, args)
-    multiproc = _multiproc_requested(cfg.coordinator, cfg.num_procs)
-    if multiproc:
-        # join the jax.distributed cluster BEFORE any backend use
-        from ccst_tpu.parallel import multihost
-
-        multihost.initialize(
-            coordinator_address=cfg.coordinator or None,
-            num_processes=cfg.num_procs if cfg.num_procs > 0 else None,
-            process_id=cfg.proc_id if cfg.proc_id >= 0 else None,
+    if cfg.mode.lower() == "deepall" and _multiproc_requested(
+        cfg.coordinator, cfg.num_procs
+    ):
+        raise SystemExit(
+            "--mode deepall pools every source into ONE pseudo-client and "
+            "cannot be split across processes; run it single-host"
         )
+    # join the jax.distributed cluster BEFORE any backend use
+    multiproc = _maybe_init_multiproc(cfg.coordinator, cfg.num_procs, cfg.proc_id)
     amp_bank = None
     if cfg.dg_method.lower() == "feddg":
         from ccst_tpu.pipeline.amp_bank import load_amp_bank
@@ -290,17 +333,10 @@ def cmd_fed_test(args) -> int:
 def cmd_invert_train(args) -> int:
     from ccst_tpu.privacy.invert import InvertConfig, train_inverter
 
-    if _multiproc_requested(args.coordinator, args.num_procs):
-        # the reference's only true DDP entry point is exactly this trainer
-        # (imagenet_reconstruct.py:141-175 mp.spawn + NCCL); join the
-        # jax.distributed cluster before any backend use
-        from ccst_tpu.parallel import multihost
-
-        multihost.initialize(
-            coordinator_address=args.coordinator or None,
-            num_processes=args.num_procs if args.num_procs > 0 else None,
-            process_id=args.proc_id if args.proc_id >= 0 else None,
-        )
+    # the reference's only true DDP entry point is exactly this trainer
+    # (imagenet_reconstruct.py:141-175 mp.spawn + NCCL); join the
+    # jax.distributed cluster before any backend use
+    _maybe_init_multiproc(args.coordinator, args.num_procs, args.proc_id)
     cfg = InvertConfig(
         dataset=args.dataset,
         source=args.source,
@@ -315,6 +351,9 @@ def cmd_invert_train(args) -> int:
         vgg_weights=args.vgg_weights,
         loss=args.loss,
         perc_weight=args.perc_weight,
+        coordinator=args.coordinator,
+        num_procs=args.num_procs,
+        proc_id=args.proc_id,
     )
     best = train_inverter(cfg)
     print(json.dumps(best))
@@ -392,9 +431,17 @@ def cmd_gan_train(args) -> int:
     if args.fid_samples > 0:
         # FID-style closing metric (upstream calculate_fid counterpart):
         # EMA samples vs a real batch in VGG feature space
+        import jax
+
+        from ccst_tpu.models import vgg
+        from ccst_tpu.models.convert import load_encoder
         from ccst_tpu.privacy.gan import vgg_frechet_distance
 
-        enc, _ = _load_engine_params(args)
+        # encoder only: the decoder plays no role in the Frechet metric
+        enc = (
+            load_encoder(args.vgg_weights) if args.vgg_weights
+            else vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+        )
         n = args.fid_samples
         real = _np.concatenate(
             [next(it).images for _ in range((n + cfg.batch_size - 1) // cfg.batch_size)]

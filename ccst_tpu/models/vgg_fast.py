@@ -480,32 +480,74 @@ def calibrate_scales(
     return {k: float(v) for k, v in _pass(images, stats_arr).items()}
 
 
-def save_scales(path: str, scales: Dict[str, float]) -> str:
+def weights_fingerprint(enc_params, dec_params) -> str:
+    """Cheap stable fingerprint of the (encoder, decoder) weight pair.
+
+    Stored inside the scales artifact so a persisted calibration is never
+    silently applied to DIFFERENT weights (e.g. a retrained decoder):
+    activation-clipping ranges are weight-specific, and a stale artifact
+    would quietly degrade int8 quality. Sum-of-|w| per first/last conv —
+    computed over the bfloat16-cast weights (the engine stores bf16, so the
+    fingerprint must not depend on whether the caller holds fp32 or bf16
+    copies), accumulated in float32, rounded to 4 significant digits."""
+    import jax.numpy as _jnp
+
+    def sig(p):
+        w = _jnp.asarray(p["w"], _jnp.bfloat16).astype(_jnp.float32)
+        return float(f"{float(_jnp.sum(_jnp.abs(w))):.4g}")
+
+    enc_names = sorted(enc_params)
+    dec_names = sorted(dec_params)
+    parts = [
+        sig(enc_params[enc_names[0]]), sig(enc_params[enc_names[-1]]),
+        sig(dec_params[dec_names[0]]), sig(dec_params[dec_names[-1]]),
+    ]
+    return ",".join(f"{v:.4g}" for v in parts)
+
+
+def save_scales(
+    path: str, scales: Dict[str, float], fingerprint: str = ""
+) -> str:
     """Persist int8-static calibration scales (plain JSON: conv name ->
     max|input| as float; exact double round-trip, so a reloaded engine is
     bit-identical to the one that calibrated). Determinism closure for the
     int8-static engine: without this, scales depend on whichever batch
-    arrives first (SURVEY §4 determinism stance)."""
+    arrives first (SURVEY §4 determinism stance). ``fingerprint``
+    (:func:`weights_fingerprint`) ties the artifact to its weights."""
     import json as _json
     import os as _os
 
     _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"format": "ccst_tpu/q8s_scales/v1", "scales": scales}
+    if fingerprint:
+        payload["weights_fingerprint"] = fingerprint
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        _json.dump({"format": "ccst_tpu/q8s_scales/v1", "scales": scales},
-                   f, indent=2, sort_keys=True)
+        _json.dump(payload, f, indent=2, sort_keys=True)
     _os.replace(tmp, path)
     return path
 
 
-def load_scales(path: str) -> Dict[str, float]:
-    """Load scales written by :func:`save_scales`."""
+def load_scales(path: str, expect_fingerprint: str = "") -> Dict[str, float]:
+    """Load scales written by :func:`save_scales`.
+
+    When ``expect_fingerprint`` is given and the artifact carries a
+    (different) fingerprint, raises ValueError — the calibration belongs to
+    other weights. Artifacts without a fingerprint (older format) load
+    unconditionally."""
     import json as _json
 
     with open(path) as f:
         obj = _json.load(f)
     if obj.get("format") != "ccst_tpu/q8s_scales/v1":
         raise ValueError(f"{path}: not a ccst_tpu q8s scales artifact")
+    stored = obj.get("weights_fingerprint", "")
+    if expect_fingerprint and stored and stored != expect_fingerprint:
+        raise ValueError(
+            f"{path}: calibration was made for different weights "
+            f"(artifact fingerprint {stored!r} != current "
+            f"{expect_fingerprint!r}); re-run `calibrate`"
+        )
     return {k: float(v) for k, v in obj["scales"].items()}
 
 

@@ -240,7 +240,8 @@ def scales_path_for(cfg: StylizeConfig) -> str:
 
 
 def run_calibration(
-    cfg: StylizeConfig, engine: StylizeEngine, max_images: int = 8
+    cfg: StylizeConfig, engine: StylizeEngine, max_images: int = 8,
+    out_path: str = "",
 ) -> str:
     """Deterministic offline calibration for the int8-static engines.
 
@@ -277,7 +278,10 @@ def run_calibration(
             f"engine {engine.engine!r} does not support static calibration "
             "(use int8-static or int8-fused)"
         )
-    return vgg_fast.save_scales(scales_path_for(cfg), engine.scales)
+    return vgg_fast.save_scales(
+        out_path or scales_path_for(cfg), engine.scales,
+        fingerprint=vgg_fast.weights_fingerprint(engine.enc, engine.dec),
+    )
 
 
 # ---------------------------------------------------------------------------

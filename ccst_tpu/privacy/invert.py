@@ -150,6 +150,18 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
     params to ``{out_dir}/{dataset}/{source}_inverter.ckpt``."""
     from ccst_tpu.utils.checkpoint import save_checkpoint
 
+    if (cfg.coordinator or cfg.num_procs > 1) and not jax.distributed.is_initialized():
+        # library callers reach the DDP path through the config fields alone
+        # (the CLI initializes earlier; initialize must precede backend use,
+        # so the check is on distributed state, NOT jax.process_count())
+        from ccst_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=cfg.coordinator or None,
+            num_processes=cfg.num_procs if cfg.num_procs > 0 else None,
+            process_id=cfg.proc_id if cfg.proc_id >= 0 else None,
+        )
+
     enc = _encoder_params(cfg)
     enc16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), enc)
     model = StyleInverter(image_size=cfg.image_size)

@@ -159,3 +159,106 @@ def test_cli_invert_train_then_eval(aux_dataset, capsys):
     # reconstructions + the reference-layout metric npy were written
     recon_dir = os.path.join(out_dir, "pacs", "recon_sketch")
     assert os.listdir(recon_dir)
+
+
+def test_multiproc_request_detection(monkeypatch):
+    """Launch-trigger semantics: coordinator flag/env or a world size > 1
+    request the cluster; a bare stale CCST_PROC_ID does not; a malformed
+    CCST_NUM_PROCS dies with a clear message instead of a ValueError."""
+    from ccst_tpu.cli import _multiproc_requested
+
+    for var in ("CCST_COORDINATOR", "CCST_NUM_PROCS", "CCST_PROC_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _multiproc_requested("", 0)
+    assert _multiproc_requested("host0:1357", 0)
+    assert _multiproc_requested("", 2)
+    monkeypatch.setenv("CCST_PROC_ID", "0")  # stale shell state
+    assert not _multiproc_requested("", 0)
+    monkeypatch.setenv("CCST_NUM_PROCS", "3")
+    assert _multiproc_requested("", 0)
+    monkeypatch.setenv("CCST_NUM_PROCS", "three")
+    with pytest.raises(SystemExit, match="CCST_NUM_PROCS"):
+        _multiproc_requested("", 0)
+
+
+def test_fed_train_rejects_multiproc_deepall(aux_dataset, monkeypatch):
+    for var in ("CCST_COORDINATOR", "CCST_NUM_PROCS", "CCST_PROC_ID"):
+        monkeypatch.delenv(var, raising=False)
+    root = aux_dataset
+    with pytest.raises(SystemExit, match="deepall"):
+        run_cli(
+            "fed-train", "--dataset", "pacs", "--target", "photo",
+            "--mode", "deepall", "--network", "resnet4",
+            "--rounds", "1", "--batch-size", "2", "--image-size", "32",
+            "--list-root", root, "--data-root", root,
+            "--coordinator", "host0:1357", "--num-procs", "3",
+            "--proc-id", "0",
+        )
+
+
+def test_calibrate_custom_scales_path_and_fingerprint(aux_dataset, monkeypatch, capsys):
+    """calibrate --scales writes the artifact THERE (finding: it used to be
+    ignored), stylize --scales with matching weights loads it, and the same
+    artifact against different weights is refused (explicit: error;
+    auto-pickup: warn + self-calibrate)."""
+    import jax
+    import json as _json
+
+    import ccst_tpu.config as cc
+    from ccst_tpu.models import vgg
+    from ccst_tpu.models.vgg_fast import load_scales, weights_fingerprint
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DatasetSpec(
+            name="pacs", domains=tuple(DOMAINS), num_classes=2,
+            image_size=32, stylize_size=32,
+        )
+    )
+    root = aux_dataset
+    common = [
+        "--dataset", "pacs", "--list-root", root, "--data-root", root,
+        "--output-root", root,
+        "--style-stats-dir", os.path.join(root, "style_stats"),
+        "--image-size", "32", "--batch-size", "2",
+    ]
+    assert run_cli("style-bank", *common, "--target", "photo") == 0
+    custom = os.path.join(root, "elsewhere", "my_scales.json")
+    assert run_cli(
+        "calibrate", *common, "--target", "photo",
+        "--engine", "int8-static", "--max-images", "2",
+        "--scales", custom,
+    ) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["scales_path"] == custom and os.path.exists(custom)
+    # artifact carries the fingerprint of the (random-init) CLI weights
+    art = _json.load(open(custom))
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    assert art["weights_fingerprint"] == weights_fingerprint(enc, dec)
+
+    # matching weights: explicit load succeeds
+    assert load_scales(custom, expect_fingerprint=art["weights_fingerprint"])
+    # different weights: explicit load refuses
+    other = weights_fingerprint(
+        vgg.init_params(jax.random.PRNGKey(7), vgg.ENCODER_ARCH), dec
+    )
+    with pytest.raises(ValueError, match="different weights"):
+        load_scales(custom, expect_fingerprint=other)
+
+    # stale AUTO-pickup is skipped with a warning, not applied silently
+    from ccst_tpu.cli import _load_scales_for
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.pipeline.stylize import scales_path_for
+
+    cfg = StylizeConfig(
+        dataset="pacs", target="photo", engine="int8-static",
+        style_stats_dir=os.path.join(root, "style_stats"),
+    )
+    import shutil
+
+    shutil.copy(custom, scales_path_for(cfg))
+    enc7 = vgg.init_params(jax.random.PRNGKey(7), vgg.ENCODER_ARCH)
+    assert _load_scales_for(cfg, enc7, dec) is None
+    assert "stale calibration" in capsys.readouterr().out
+    # ...while the right weights still auto-load it
+    assert _load_scales_for(cfg, enc, dec) is not None
