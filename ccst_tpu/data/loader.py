@@ -117,25 +117,23 @@ class ImageBatchLoader:
             images = native.decode_resize_batch(
                 [self.paths[i] for i in idxs], self.image_size, self.num_workers
             )
-            if valid < self.batch_size and self.pad_final:
-                images = np.concatenate(
-                    [
-                        images,
-                        np.zeros(
-                            (self.batch_size - valid,) + images.shape[1:], np.float32
-                        ),
-                    ]
-                )
         else:
             futs = [
                 pool.submit(load_image, self.paths[i], self.image_size) for i in idxs
             ]
-            imgs = [f.result() for f in futs]
-            if valid < self.batch_size and self.pad_final:
-                imgs.extend([np.zeros_like(imgs[0])] * (self.batch_size - valid))
-            images = np.stack(imgs, axis=0)
-        labels = np.zeros((images.shape[0],), np.int32)
-        labels[:valid] = self.labels[idxs]
+            images = np.stack([f.result() for f in futs], axis=0)
+        labels = np.asarray(self.labels[idxs], np.int32)
+        if valid < self.batch_size and self.pad_final:
+            # pad by CYCLING the real rows (images AND labels), not zeros:
+            # batch-statistic layers (BatchNorm train mode, the stat-free
+            # DenseNet norm, MixStyle partners) see only real-image
+            # statistics — zero-image padding dragged batch stats toward
+            # the zero image and polluted every valid row's normalization,
+            # a silent divergence from the reference's unpadded partial
+            # batches. The loss/metrics mask still zeroes the padding rows.
+            cyc = np.arange(self.batch_size - valid) % valid
+            images = np.concatenate([images, images[cyc]])
+            labels = np.concatenate([labels, labels[cyc]])
         return Batch(
             images=images,
             labels=labels,

@@ -278,19 +278,22 @@ class MultihostFedRunner:
         }
         inner.logger.log("round", **record)
 
-        if self.proc == 0 and (
-            round_idx % cfg.save_freq == 0 or round_idx == cfg.rounds - 1
-        ):
-            inner.save(round_idx)
-        if val_acc_mean > inner.best["val_acc_mean"]:
+        # best-update BEFORE save(latest) — same ordering fix as
+        # FederatedRunner.run_round (the latest payload embeds inner.best)
+        is_best = val_acc_mean > inner.best["val_acc_mean"]
+        if is_best:
             inner.best = {
                 "val_acc_mean": val_acc_mean,
                 "round": round_idx,
                 "test_acc": test_acc,
             }
-            if self.proc == 0:
-                inner.save(round_idx, best=True)
-                inner.logger.log("best", **inner.best)
+        if self.proc == 0 and (
+            round_idx % cfg.save_freq == 0 or round_idx == cfg.rounds - 1
+        ):
+            inner.save(round_idx)
+        if is_best and self.proc == 0:
+            inner.save(round_idx, best=True)
+            inner.logger.log("best", **inner.best)
         return record
 
     def run(self) -> Dict[str, Any]:

@@ -165,11 +165,10 @@ class FederatedRunner:
     def train_client_epoch(
         self, ci: int, state: State, rng: jax.Array
     ) -> Tuple[State, Dict[str, float]]:
-        loss_sum = 0.0
-        correct = 0.0
-        count = 0.0
         server_params = self.server["params"]
         n_steps = 0
+        metrics = []  # device arrays: converting per step would sync the
+        # device every batch and defeat JAX async dispatch
         for step_idx, batch in enumerate(self.clients[ci].train):
             bd = _batch_dict(batch)
             if self.amp_bank is not None:
@@ -178,10 +177,13 @@ class FederatedRunner:
             state, m = self._train_step(
                 state, server_params, bd, step_key, jnp.asarray(step_idx)
             )
-            loss_sum += float(m.loss)
-            correct += float(m.correct)
-            count += float(m.count)
+            metrics.append((m.loss, m.correct, m.count))
             n_steps += 1
+        loss_sum = correct = count = 0.0
+        for l, c, n in metrics:  # one sync at epoch end
+            loss_sum += float(l)
+            correct += float(c)
+            count += float(n)
         return state, {
             "train_loss": loss_sum / max(n_steps, 1),
             "train_acc": correct / max(count, 1.0),
@@ -230,6 +232,11 @@ class FederatedRunner:
                 jax.tree.map(lambda x: x, self.server)
                 for _ in range(self.n_clients)
             ]
+        # restore the best-so-far record (now saved up-to-date in latest):
+        # without it, the first post-resume round always overwrote the best
+        # checkpoint regardless of its validation score
+        if payload.get("best"):
+            self.best = dict(payload["best"])
         self.start_round = int(payload["round"]) + 1
         self.best = payload.get("best", self.best)
         self.logger.log("resume", round=self.start_round)
@@ -323,14 +330,19 @@ class FederatedRunner:
         }
         self.logger.log("round", **record)
 
-        if round_idx % cfg.save_freq == 0 or round_idx == cfg.rounds - 1:
-            self.save(round_idx)
-        if val_acc_mean > self.best["val_acc_mean"]:
+        # best-update BEFORE save(latest): the latest payload embeds
+        # self.best, and a stale copy there meant a crash + resume could
+        # let a later, worse round overwrite the best checkpoint
+        is_best = val_acc_mean > self.best["val_acc_mean"]
+        if is_best:
             self.best = {
                 "val_acc_mean": val_acc_mean,
                 "round": round_idx,
                 "test_acc": test_acc,
             }
+        if round_idx % cfg.save_freq == 0 or round_idx == cfg.rounds - 1:
+            self.save(round_idx)
+        if is_best:
             self.save(round_idx, best=True)
             self.logger.log("best", **self.best)
         return record

@@ -19,7 +19,7 @@ optimizer state to thread.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,10 +66,28 @@ def _head_apply(params, features: Array, head: str = "class_classifier") -> Arra
     return features @ p["kernel"] + p["bias"]
 
 
-def _rsc_logits(model, state, params, images, labels, n_classes: int):
+def _masked_percentile(x: Array, mask: Array, q: float) -> Array:
+    """``jnp.percentile(x[mask > 0], q)`` with a static shape: padded rows
+    must not displace the rank threshold (the torch reference takes the
+    percentile over the real rows only). Sorts padding to +inf and linearly
+    interpolates at rank q/100*(n_valid-1), matching jnp.percentile's
+    default method on the valid subset."""
+    xs = jnp.sort(jnp.where(mask > 0, x, jnp.inf))
+    n = jnp.sum(mask)
+    r = (q / 100.0) * jnp.maximum(n - 1.0, 0.0)
+    lo = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, x.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, jnp.maximum(n.astype(jnp.int32) - 1, 0))
+    w = (r - lo).astype(x.dtype)
+    x_lo, x_hi = xs[lo], xs[hi]
+    return x_lo + w * jnp.where(w > 0, x_hi - x_lo, jnp.zeros_like(x_lo))
+
+
+def _rsc_logits(model, state, params, images, labels, n_classes: int,
+                mask_valid: Optional[Array] = None):
     """RSC muted logits (utils/rsc_utils.py:32-75): mute the top-1/3
     representation gradients per feature and re-unmute the bottom-2/3 of
-    samples by prediction change."""
+    samples by prediction change. ``mask_valid`` (B,) excludes padding rows
+    from the batch-level percentile."""
     feats, new_stats = _apply(
         model, {**state, "params": params}, images, train=True,
         return_features=True,
@@ -91,7 +109,12 @@ def _rsc_logits(model, state, params, images, labels, n_classes: int):
     s_muted = jax.nn.softmax(logits_muted, axis=1)
     changes = jnp.sum(s * onehot, axis=1) - jnp.sum(s_muted * onehot, axis=1)
     changes = jax.lax.stop_gradient(changes)
-    pct_b = jnp.percentile(changes, (1 - 1 / 3) * 100)
+    if mask_valid is None:
+        pct_b = jnp.percentile(changes, (1 - 1 / 3) * 100)
+    else:
+        pct_b = _masked_percentile(
+            changes.astype(jnp.float32), mask_valid, (1 - 1 / 3) * 100
+        ).astype(changes.dtype)
     mask_b = (changes < pct_b).astype(feats.dtype)[:, None]
     mask = jnp.maximum(mask_f, mask_b)  # logical_or on {0,1} masks
     return _head_apply(params, feats * mask), new_stats
@@ -169,7 +192,8 @@ def make_train_step(
         elif dg == "rsc":
             images = prepare(batch["images"], k_tf)
             logits, new_stats = _rsc_logits(
-                model, state, params, images, labels, n_classes
+                model, state, params, images, labels, n_classes,
+                mask_valid=mask,
             )
             loss = _masked_mean(cross_entropy(logits, labels), mask)
             metrics_logits = logits

@@ -92,9 +92,11 @@ class StylizeEngine:
         self._needs_calibration = (
             engine in ("int8-static", "int8-fused") and scales is None
         )
-        self._build(encoder_params, decoder_params, scales=scales)
+        self._build(scales=scales)
 
-    def _build(self, encoder_params, decoder_params, scales) -> None:
+    def _build(self, scales) -> None:
+        # executors always build from self.enc/self.dec (the dtype-cast
+        # copies) — there are no other weight sources
         from ccst_tpu.models import vgg_fast
 
         kind = self.engine
@@ -193,7 +195,7 @@ class StylizeEngine:
             [(jnp.asarray(m), jnp.asarray(s)) for m, s in style_stats],
         )
         self.scales = scales
-        self._build(self.enc, self.dec, scales)
+        self._build(scales)
         self._needs_calibration = False
 
     def _ensure_calibrated(self, images, s_means, s_stds) -> None:
@@ -231,6 +233,17 @@ class StylizeEngine:
 # ---------------------------------------------------------------------------
 
 
+def bank_path_for(cfg: StylizeConfig, style: str) -> str:
+    """Style-bank artifact for ``style`` (native .npz, falling back to the
+    reference .npy layout). ONE resolution rule shared by the transfer loop
+    and calibration, so the persisted int8 scales always correspond to the
+    banks stylize actually uses."""
+    path = os.path.join(
+        cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
+    )
+    return path if os.path.exists(path) else path[:-4] + ".npy"
+
+
 def scales_path_for(cfg: StylizeConfig) -> str:
     """Default location of the persisted int8 calibration: next to the style
     banks (``{style_stats_dir}/{dataset}/{target}_q8_scales.json``)."""
@@ -263,14 +276,7 @@ def run_calibration(
     paths = [os.path.join(cfg.data_root, n) if cfg.data_root else n for n in names]
     images = np.stack([load_image(p, cfg.image_size) for p in paths])
 
-    bank = []
-    for style in styles:
-        stats_path = os.path.join(
-            cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
-        )
-        if not os.path.exists(stats_path):
-            stats_path = stats_path[:-4] + ".npy"
-        bank.append(load_style_stats(stats_path))
+    bank = [load_style_stats(bank_path_for(cfg, style)) for style in styles]
 
     engine.calibrate(images, bank, max_images=max_images)
     if engine.scales is None:
@@ -315,32 +321,36 @@ def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
     return loader, names
 
 
-def _writeback(
-    pool: cf.Executor,
-    outputs: np.ndarray,
-    batch_paths: Sequence[str],
-    rel_names: Sequence[str],
-    cfg: StylizeConfig,
-    style: str,
-    mode: str,
-) -> List[cf.Future]:
-    futs = []
-    for img, rel in zip(outputs, rel_names):
-        out_rel = stylized_output_path(rel, cfg.target, style, mode)
-        if cfg.save_ext:
-            out_rel = os.path.splitext(out_rel)[0] + cfg.save_ext
-        out_path = (
-            os.path.join(cfg.output_root, out_rel) if cfg.output_root else out_rel
-        )
-        futs.append(pool.submit(save_image_u8, img, out_path))
-    return futs
-
-
 def _out_path_of(cfg: StylizeConfig, rel: str, style: str, mode: str) -> str:
     out_rel = stylized_output_path(rel, cfg.target, style, mode)
     if cfg.save_ext:
         out_rel = os.path.splitext(out_rel)[0] + cfg.save_ext
     return os.path.join(cfg.output_root, out_rel) if cfg.output_root else out_rel
+
+
+# cap on queued write-back jobs: each pending future pins its stylized image
+# array, so an unbounded queue (encode slower than stylize) would buffer a
+# whole domain's outputs in RAM
+_MAX_INFLIGHT_WRITES = 64
+
+
+def _writeback(
+    pool: cf.Executor,
+    outputs: np.ndarray,
+    rel_names: Sequence[str],
+    cfg: StylizeConfig,
+    style: str,
+    mode: str,
+    futs: List[cf.Future],
+) -> None:
+    """Queue the batch's images for encoding via _out_path_of (the SAME path
+    logic skip_existing checks), applying write-back backpressure."""
+    for img, rel in zip(outputs, rel_names):
+        futs.append(
+            pool.submit(save_image_u8, img, _out_path_of(cfg, rel, style, mode))
+        )
+    while len(futs) > _MAX_INFLIGHT_WRITES:
+        futs.pop(0).result()
 
 
 def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> TransferReport:
@@ -375,12 +385,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
     from ccst_tpu.pipeline.style_bank import load_style_stats
 
     def stats_of(style: str):
-        stats_path = os.path.join(
-            cfg.style_stats_dir, cfg.dataset.lower(), f"{style}_mean_std.npz"
-        )
-        if not os.path.exists(stats_path):
-            stats_path = stats_path[:-4] + ".npy"
-        return load_style_stats(stats_path)
+        return load_style_stats(bank_path_for(cfg, style))
 
     t0 = time.perf_counter()
     n_done = 0
@@ -403,11 +408,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                 rel = rel_names[offset : offset + batch.valid]
                 outs_np = np.asarray(outs[:, : batch.valid])
                 for si, style in enumerate(styles):
-                    futs.extend(
-                        _writeback(
-                            pool, outs_np[si], batch.paths, rel, cfg, style, mode
-                        )
-                    )
+                    _writeback(pool, outs_np[si], rel, cfg, style, mode, futs)
                     n_done += batch.valid
                 offset += batch.valid
             for f in futs:
@@ -459,9 +460,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                 )
                 out_np = np.asarray(out[: batch.valid])
                 rel = style_rels[offset : offset + batch.valid]
-                futs.extend(
-                    _writeback(pool, out_np, batch.paths, rel, cfg, style, mode)
-                )
+                _writeback(pool, out_np, rel, cfg, style, mode, futs)
                 offset += batch.valid
                 n_done += batch.valid
             for f in futs:

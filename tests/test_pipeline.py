@@ -76,7 +76,13 @@ def test_loader_shapes_and_padding(synth_dataset):
     assert batches[0].valid == 4
     assert batches[1].valid == 2
     assert batches[1].images.shape == (4, 32, 32, 3)
-    assert np.all(batches[1].images[2:] == 0)
+    # padding rows CYCLE the real rows (images and labels): batch-statistic
+    # layers must see only real-image statistics, never zero images
+    np.testing.assert_array_equal(batches[1].images[2], batches[1].images[0])
+    np.testing.assert_array_equal(batches[1].images[3], batches[1].images[1])
+    np.testing.assert_array_equal(
+        batches[1].labels[2:], batches[1].labels[:2]
+    )
     assert batches[0].images.max() <= 1.0
 
 
