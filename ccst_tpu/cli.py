@@ -234,7 +234,7 @@ def cmd_reorganize(args) -> int:
     n = reorganize_unified_tree(
         args.list_root, args.dataset, args.target, args.mode,
         style_family=args.style, link=not args.copy,
-        data_root=args.data_root,
+        data_root=args.data_root, save_ext=args.save_ext,
     )
     print(f"placed {n} files in the unified tree for target={args.target}")
     return 0
@@ -248,6 +248,7 @@ def cmd_gen_lists(args) -> int:
     written = generate_k_lists(
         args.list_root, cfg.dataset, cfg.target, cfg.k,
         mode=cfg.mode, style_family=cfg.style, seed=cfg.seed,
+        save_ext=cfg.save_ext,
     )
     for client, path in written.items():
         print(f"{client}: {path}")
@@ -568,6 +569,7 @@ def main(argv: Optional[list] = None) -> int:
     for name, default in (
         ("--dataset", "pacs"), ("--target", ""), ("--mode", "overall"),
         ("--style", "adain"), ("--list-root", ""), ("--data-root", ""),
+        ("--save-ext", ""),
     ):
         p.add_argument(name, default=default)
     p.add_argument("--copy", action="store_true", help="copy instead of hardlink")
@@ -581,6 +583,8 @@ def main(argv: Optional[list] = None) -> int:
         p.add_argument(name, default=default)
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save-ext", default="",
+                   help="match the stylize stage's --save-ext, if any")
     p.set_defaults(fn=cmd_gen_lists)
 
     p = sub.add_parser("amp-bank", help="precompute FedDG amplitude spectra")

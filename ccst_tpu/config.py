@@ -116,6 +116,7 @@ class FusionConfig:
     mode: str = "overall"             # "overall" | "single"
     k: int = 3                        # styles sampled per image (K in the paper)
     seed: int = 1
+    save_ext: str = ""                # must match the stylize stage's value
 
 
 @dataclass

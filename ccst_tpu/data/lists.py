@@ -34,9 +34,11 @@ def parse_list(path: str | Path) -> Tuple[List[str], List[int]]:
             line = line.strip()
             if not line:
                 continue
-            row = line.split(" ")
-            names.append(row[0])
-            labels.append(int(row[1]))
+            # rsplit: filenames may contain spaces (the reference's
+            # split(' ') crashes on them; the byte format is unchanged)
+            name, label = line.rsplit(" ", 1)
+            names.append(name)
+            labels.append(int(label))
     return names, labels
 
 
@@ -156,8 +158,12 @@ def generate_k_lists(
     seed: int = 1,
     out_root: Optional[str] = None,
     source_marker: str = "kfold",
+    save_ext: str = "",
 ) -> Dict[str, str]:
     """Generate fusion-mode train lists for every source client.
+
+    ``save_ext`` must match the stylize/reorganize stages' value when one
+    was used, so the list entries carry the materialized extension.
 
     Reference semantics (data/data_list_generator.py:50-83): for each source
     client and each of its train images, sample K of the N-1 source domains
@@ -190,19 +196,19 @@ def generate_k_lists(
                 if style == client:
                     # own-domain draw -> the original's copy in the unified
                     # tree, no style suffix (data_list_generator.py:71)
-                    out_names.append(
-                        unified_original_path(
-                            name, target, style_family, mode,
-                            source_marker=source_marker,
-                        )
+                    entry = unified_original_path(
+                        name, target, style_family, mode,
+                        source_marker=source_marker,
                     )
                 else:
-                    out_names.append(
-                        unified_tree_path(
-                            name, target, style, style_family, mode,
-                            source_marker=source_marker,
-                        )
+                    entry = unified_tree_path(
+                        name, target, style, style_family, mode,
+                        source_marker=source_marker,
                     )
+                    if save_ext:  # stylized variants carry the save ext;
+                        # originals keep theirs (reorganize copies them as-is)
+                        entry = os.path.splitext(entry)[0] + save_ext
+                out_names.append(entry)
                 out_labels.append(label)
         path = train_list_path(
             out_root, dataset, client, fusion_dir=fusion_dir, target=target
@@ -256,6 +262,12 @@ def filter_blank_images(
             if brightness_lo < mean < brightness_hi and std > min_std:
                 keep_n.append(name)
                 keep_l.append(label)
+        if names and not keep_n:
+            raise IOError(
+                f"filter-blank kept 0 of {len(names)} {domain} images — "
+                "every decode failed or everything looked blank; check "
+                "--data-root (a wrong root silently decodes nothing)"
+            )
         out_path = os.path.join(
             list_root, "txt_lists", out_ds, f"{domain}_train.txt"
         )
@@ -277,7 +289,14 @@ def split_image_tree(
     (reference utils/split_data.py, which hardcodes OfficeHome and 80/20).
 
     Class -> label indices are assigned by sorted class-name order, stable
-    across domains. Returns {domain: (train_list, test_list)} paths.
+    across domains. Only image files (.jpg/.jpeg/.png/.bmp/.webp) are
+    indexed — class folders often carry Thumbs.db/.DS_Store strays.
+    Returns {domain: (train_list, test_list)} paths.
+
+    Chaining note: the fusion stages (gen-lists/reorganize) locate images by
+    the ``kfold`` path segment (reference layout); point ``tree_subdir`` at
+    a ``.../kfold`` directory (e.g. ``PACS/kfold``) when the split output
+    will feed them.
     """
     spec = dataset_spec(dataset)
     tree = os.path.join(data_root, tree_subdir or dataset)
@@ -305,6 +324,10 @@ def split_image_tree(
             if not os.path.isdir(cdir):
                 continue
             for fname in sorted(os.listdir(cdir)):
+                if os.path.splitext(fname)[1].lower() not in (
+                    ".jpg", ".jpeg", ".png", ".bmp", ".webp"
+                ):
+                    continue
                 names.append(os.path.relpath(os.path.join(cdir, fname), data_root))
                 labels.append(class_idx[cls])
         order = rng.permutation(len(names))
@@ -320,19 +343,21 @@ def split_image_tree(
     return written
 
 
-def _place(src: str, dst: str, link: bool) -> None:
+def _place(src: str, dst: str, link: bool) -> bool:
+    """Returns True when a file was materialized (False = already there)."""
     import shutil
 
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     if os.path.exists(dst):
-        return  # idempotent rerun (reference reorganize_dataset.py:67,73)
+        return False  # idempotent rerun (reference reorganize_dataset.py:67,73)
     if link:
         try:
             os.link(src, dst)
-            return
+            return True
         except OSError:
             pass
     shutil.copy2(src, dst)
+    return True
 
 
 def reorganize_unified_tree(
@@ -344,8 +369,13 @@ def reorganize_unified_tree(
     source_marker: str = "kfold",
     link: bool = True,
     data_root: str = "",
+    save_ext: str = "",
 ) -> int:
     """Materialize the unified training tree for a held-out ``target``.
+
+    ``save_ext`` must match the stylize stage's ``--save-ext`` when one was
+    used (stylize rewrites the output extension; without it here the
+    stylized variants would be looked up under the original extension).
 
     For every source client's train-list image: place the original and each
     other source domain's stylized variant (produced by the stylize stage at
@@ -364,7 +394,7 @@ def reorganize_unified_tree(
     for client in sources:
         names, _ = parse_list(train_list_path(list_root, dataset, client))
         for name in names:
-            _place(
+            count += _place(
                 absolute(name),
                 absolute(
                     unified_original_path(
@@ -373,26 +403,24 @@ def reorganize_unified_tree(
                 ),
                 link,
             )
-            count += 1
             for style in sources:
                 if style == client:
                     continue
-                src = absolute(
-                    stylized_output_path(name, client, style, mode, source_marker)
+                src_rel = stylized_output_path(
+                    name, client, style, mode, source_marker
                 )
+                dst_rel = unified_tree_path(
+                    name, target, style, style_family, mode, source_marker
+                )
+                if save_ext:
+                    src_rel = os.path.splitext(src_rel)[0] + save_ext
+                    dst_rel = os.path.splitext(dst_rel)[0] + save_ext
+                src = absolute(src_rel)
                 if not os.path.exists(src):
                     raise FileNotFoundError(
                         f"stylized variant missing: {src} (run the stylize "
-                        f"stage for content={client}, style={style} first)"
+                        f"stage for content={client}, style={style} first; "
+                        "pass the same --save-ext it used, if any)"
                     )
-                _place(
-                    src,
-                    absolute(
-                        unified_tree_path(
-                            name, target, style, style_family, mode, source_marker
-                        )
-                    ),
-                    link,
-                )
-                count += 1
+                count += _place(src, absolute(dst_rel), link)
     return count

@@ -486,22 +486,31 @@ def weights_fingerprint(enc_params, dec_params) -> str:
     Stored inside the scales artifact so a persisted calibration is never
     silently applied to DIFFERENT weights (e.g. a retrained decoder):
     activation-clipping ranges are weight-specific, and a stale artifact
-    would quietly degrade int8 quality. Sum-of-|w| per first/last conv —
-    computed over the bfloat16-cast weights (the engine stores bf16, so the
+    would quietly degrade int8 quality. Per net: the plain and the
+    layer-position-weighted sum of |w| over EVERY conv (so a change to any
+    single layer — middle layers included — moves the fingerprint), computed
+    over the bfloat16-cast weights (the engine stores bf16, so the
     fingerprint must not depend on whether the caller holds fp32 or bf16
     copies), accumulated in float32, rounded to 4 significant digits."""
     import jax.numpy as _jnp
 
-    def sig(p):
-        w = _jnp.asarray(p["w"], _jnp.bfloat16).astype(_jnp.float32)
-        return float(f"{float(_jnp.sum(_jnp.abs(w))):.4g}")
+    def net_sig(params):
+        total = weighted = probe = 0.0
+        for i, name in enumerate(sorted(params)):
+            w = _jnp.asarray(params[name]["w"], _jnp.bfloat16).astype(
+                _jnp.float32
+            )
+            si = float(f"{float(_jnp.sum(_jnp.abs(w))):.4g}")
+            total += si
+            weighted += (i + 1) * si
+            # raw mid-element probe: |w| sums concentrate hard for random
+            # inits of the same shapes (relative spread ~1/sqrt(n)), so two
+            # re-inits could collide at 4 digits; an actual element value
+            # distinguishes them outright
+            probe += (i + 1) * float(w.reshape(-1)[w.size // 2])
+        return total, weighted, probe
 
-    enc_names = sorted(enc_params)
-    dec_names = sorted(dec_params)
-    parts = [
-        sig(enc_params[enc_names[0]]), sig(enc_params[enc_names[-1]]),
-        sig(dec_params[dec_names[0]]), sig(dec_params[dec_names[-1]]),
-    ]
+    parts = [*net_sig(enc_params), *net_sig(dec_params)]
     return ",".join(f"{v:.4g}" for v in parts)
 
 

@@ -38,8 +38,11 @@ def low_freq_mutate(
     a_src = jnp.fft.fftshift(amp_src, axes=(-2, -1))
     a_trg = jnp.fft.fftshift(amp_trg, axes=(-2, -1))
     _, h, w = a_src.shape
-    b = int(min(h, w) * L)
     c_h, c_w = h // 2, w // 2
+    # clamp: the reference's box (ImageLoader.py:166) silently wraps for
+    # L >= 0.5 (h1 goes negative); valid-L behavior is identical
+    b = min(int(min(h, w) * L), min(c_h, c_w) - 1) if L > 0 else 0
+    b = max(b, 0)
     h1, h2 = c_h - b, c_h + b + 1
     w1, w2 = c_w - b, c_w + b + 1
     blended = a_src[:, h1:h2, w1:w2] * ratio + a_trg[:, h1:h2, w1:w2] * (1 - ratio)

@@ -214,3 +214,49 @@ def test_cli_calibrate_persists_scales(cli_dataset, monkeypatch):
     a = run_and_hash(4)
     b = run_and_hash(3)  # different batching; persisted scales keep outputs fixed
     assert a == b and len(a) >= 6
+
+
+def test_cli_chain_with_save_ext(cli_dataset, monkeypatch):
+    """stylize --save-ext .jpg -> reorganize --save-ext .jpg -> gen-lists
+    --save-ext .jpg: the three stages agree on the rewritten extension and
+    every fusion-list entry exists on disk (the extension used to be lost
+    between stylize and reorganize)."""
+    import ccst_tpu.config as cc
+
+    monkeypatch.setitem(
+        cc.DATASETS, "pacs", cc.DatasetSpec(
+            name="pacs", domains=tuple(DOMAINS), num_classes=2,
+            image_size=36, stylize_size=36,
+        )
+    )
+    root = cli_dataset
+    common = [
+        "--dataset", "pacs", "--list-root", root, "--data-root", root,
+        "--output-root", root,
+        "--style-stats-dir", os.path.join(root, "style_stats"),
+        "--image-size", "36", "--batch-size", "4", "--dtype", "float32",
+    ]
+    assert run_cli("style-bank", *common, "--target", "photo") == 0
+    for content in DOMAINS:
+        assert run_cli(
+            "stylize", *common, "--target", content, "--mode", "overall",
+            "--save-ext", ".jpg",
+        ) == 0
+    assert run_cli(
+        "reorganize", "--dataset", "pacs", "--target", "photo",
+        "--mode", "overall", "--list-root", root, "--data-root", root,
+        "--save-ext", ".jpg",
+    ) == 0
+    assert run_cli(
+        "gen-lists", "--dataset", "pacs", "--target", "photo",
+        "--mode", "overall", "--k", "2", "--list-root", root,
+        "--save-ext", ".jpg",
+    ) == 0
+    klist = os.path.join(
+        root, "txt_lists", "pacs_adain-overall-K2", "photo", "cartoon_train.txt"
+    )
+    names, _ = parse_list(klist)
+    missing = [n for n in names if not os.path.exists(os.path.join(root, n))]
+    assert not missing
+    assert any(n.endswith(".jpg") for n in names)  # stylized entries
+    assert any(n.endswith(".png") for n in names)  # own-domain originals

@@ -106,3 +106,61 @@ def test_train_list_path_fusion_modes():
     assert train_list_path(
         "/r", "pacs", "cartoon", fusion_dir="adain-overall-K3", target="photo"
     ) == "/r/txt_lists/pacs_adain-overall-K3/photo/cartoon_train.txt"
+
+
+def test_parse_list_tolerates_spaces(tmp_path):
+    """Filenames with spaces round-trip (the reference's split(' ') crashes
+    on them; the byte format is unchanged — label is the LAST field)."""
+    p = str(tmp_path / "l.txt")
+    write_list(p, ["pacs/kfold/a/dog/old photo.png"], [3])
+    names, labels = parse_list(p)
+    assert names == ["pacs/kfold/a/dog/old photo.png"] and labels == [3]
+
+
+def test_generate_k_lists_save_ext(tmp_path):
+    """--save-ext threads into stylized list entries (the materialized tree
+    carries the rewritten extension); originals keep theirs."""
+    root = str(tmp_path)
+    make_pacs_lists(root)
+    written = generate_k_lists(
+        root, "pacs", target="photo", k=2, seed=1, save_ext=".jpg"
+    )
+    names, _ = parse_list(written["cartoon"])
+    stylized = [n for n in names if os.path.basename(n).split(".")[0].endswith(
+        ("_art_painting", "_sketch"))]
+    originals = [n for n in names if n not in stylized]
+    assert stylized and all(n.endswith(".jpg") for n in stylized)
+    assert originals and all(n.endswith(".png") for n in originals)
+
+
+def test_filter_blank_fails_loudly_on_bad_root(tmp_path):
+    from ccst_tpu.data.lists import filter_blank_images
+
+    root = str(tmp_path)
+    make_pacs_lists(root)
+    with pytest.raises(IOError, match="kept 0 of"):
+        filter_blank_images(root, "pacs", data_root="/nonexistent/root")
+
+
+def test_split_image_tree_skips_non_images(tmp_path):
+    from ccst_tpu.data.lists import split_image_tree
+    from ccst_tpu.data.loader import save_image_u8
+
+    root = str(tmp_path)
+    for cls in ("dog", "horse"):
+        d = os.path.join(root, "PACS/kfold/cartoon", cls)
+        os.makedirs(d)
+        for i in range(3):
+            save_image_u8(
+                np.full((8, 8, 3), 0.5, np.float32),
+                os.path.join(d, f"img{i}.png"),
+            )
+        open(os.path.join(d, "Thumbs.db"), "w").write("junk")
+    written = split_image_tree(
+        root, "pacs", root, train_fraction=0.5, seed=1,
+        tree_subdir="PACS/kfold",
+    )
+    tr, te = written["cartoon"]
+    names = parse_list(tr)[0] + parse_list(te)[0]
+    assert len(names) == 6
+    assert not any("Thumbs" in n for n in names)
