@@ -132,8 +132,18 @@ def _backend_watchdog(timeout_s: float = 600.0) -> None:
 
 
 def main() -> None:
+    import argparse
+
     from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+
+    # Optional overrides for apples-to-apples runs (e.g. --size 256 matches
+    # the reference's committed 75.9 img/s artifact exactly). The bare
+    # invocation — what the driver runs — keeps the 512px defaults.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=128)
+    cli = ap.parse_args()
 
     _backend_watchdog()
 
@@ -142,9 +152,9 @@ def main() -> None:
     # benchmarks/fused_step_ab.py + the bsweep probes). The bf16 comparator
     # runs at 32: its level-1 tensors are 8x larger per image and b128
     # would thrash HBM.
-    batch = 128
+    batch = cli.batch
     bf16_batch = 32
-    size = 512
+    size = cli.size
     n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
     dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
@@ -217,7 +227,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "stylize_img_per_sec_512px",
+                "metric": f"stylize_img_per_sec_{size}px",
                 "value": round(int8_rate, 2),
                 "unit": "img/s",
                 "vs_baseline": round(int8_rate / 75.9, 2),
