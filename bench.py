@@ -224,45 +224,44 @@ def main() -> None:
     except Exception as e:  # torch unavailable on some hosts: report why
         mae_int8_vs_torch = f"unavailable: {e}"
 
-    print(
-        json.dumps(
-            {
-                "metric": f"stylize_img_per_sec_{size}px",
-                "value": round(int8_rate, 2),
-                "unit": "img/s",
-                "vs_baseline": round(int8_rate / 75.9, 2),
-                "engine": "int8-static",
-                "bf16_img_per_sec": round(bf16_rate, 2),
-                "quality_psnr_db": round(psnr, 1),
-                # headline-engine quality vs the torch formula (see
-                # _mae_vs_torch): absolute mean |err| and relative to the
-                # output span (random-init decoder outputs are not [0,1];
-                # with the reference's real weights outputs are [0,1] and
-                # the relative number IS the BASELINE <1e-3 bar's scale)
-                "mae_int8_vs_torch": mae_int8_vs_torch
-                if isinstance(mae_int8_vs_torch, str)
-                else round(mae_int8_vs_torch, 6),
-                "mae_bf16_vs_torch": None
-                if mae_bf16_vs_torch is None
-                else round(mae_bf16_vs_torch, 6),
-                "mae_int8_vs_torch_rel_span": None
-                if rel is None
-                else round(rel, 6),
-                # Roofline vs the >=2000 img/s north star — now settled by
-                # the round-3 per-layer measurement campaign
-                # (docs/WINOGRAD.md): int8 Winograd F(2,3) was built and
-                # measured DEAD on v5e (transforms alone cost 9x the conv;
-                # no int16 VPU subtract), the per-layer table shows the
-                # engine within ~1% of its measured ceiling, and literal
-                # 100%-MFU-everywhere plus the measured int8 elementwise
-                # floor caps one v5e chip at ~1870 img/s. 2000 needs a
-                # faster-int8 chip (v5p/v6e) or a smaller network.
-                "roofline_bf16_peak_img_per_sec": 1284,
-                "roofline_int8_100pct_mfu_img_per_sec": 1870,
-                "measured_per_layer_ceiling_img_per_sec": 1150,
-            }
+    result = {
+        "metric": f"stylize_img_per_sec_{size}px",
+        "value": round(int8_rate, 2),
+        "unit": "img/s",
+        "vs_baseline": round(int8_rate / 75.9, 2),
+        "engine": "int8-static",
+        "bf16_img_per_sec": round(bf16_rate, 2),
+        "quality_psnr_db": round(psnr, 1),
+        # headline-engine quality vs the torch formula (see
+        # _mae_vs_torch): absolute mean |err| and relative to the
+        # output span (random-init decoder outputs are not [0,1];
+        # with the reference's real weights outputs are [0,1] and
+        # the relative number IS the BASELINE <1e-3 bar's scale)
+        "mae_int8_vs_torch": mae_int8_vs_torch
+        if isinstance(mae_int8_vs_torch, str)
+        else round(mae_int8_vs_torch, 6),
+        "mae_bf16_vs_torch": None
+        if mae_bf16_vs_torch is None
+        else round(mae_bf16_vs_torch, 6),
+        "mae_int8_vs_torch_rel_span": None if rel is None else round(rel, 6),
+    }
+    if size == 512:
+        # Roofline vs the >=2000 img/s north star — settled by the round-3
+        # per-layer measurement campaign AT 512px (docs/WINOGRAD.md): int8
+        # Winograd F(2,3) was built and measured DEAD on v5e (transforms
+        # alone cost 9x the conv; no int16 VPU subtract), the per-layer
+        # table shows the engine within ~1% of its measured ceiling, and
+        # literal 100%-MFU-everywhere plus the measured int8 elementwise
+        # floor caps one v5e chip at ~1870 img/s. 2000 needs a faster-int8
+        # chip (v5p/v6e) or a smaller network. These constants are specific
+        # to the 512px workload, so --size overrides omit them (their
+        # size-correct comparator is bf16_img_per_sec above).
+        result.update(
+            roofline_bf16_peak_img_per_sec=1284,
+            roofline_int8_100pct_mfu_img_per_sec=1870,
+            measured_per_layer_ceiling_img_per_sec=1150,
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
