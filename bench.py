@@ -2,13 +2,15 @@
 
 Prints ONE JSON line:
   {"metric": "stylize_img_per_sec_512px", "value": N, "unit": "img/s",
-   "vs_baseline": N / 75.9, ...extras}
+   "vs_baseline": N / 75.9, ..., "at_256px": {...}}
 
 Baseline: the reference's committed stylize timing — 75.9 img/s at 256px,
 batch 128, on the author's CUDA GPU (BASELINE.md; artifact
-style_transfer/AdaIn/pacs_art_painting_overall_stylize_time.txt). We measure
-at 512px (the resolution the reference README actually uses), 4x the
-per-image work — vs_baseline therefore understates the true speedup.
+style_transfer/AdaIN/pacs_art_painting_overall_stylize_time.txt:1-4). The
+headline is measured at 512px (the resolution the reference README actually
+uses; 4x the per-image work — vs_baseline therefore understates the true
+speedup), and the SAME run also measures the 256px apples-to-apples
+workload (reference's exact size/batch) and reports it under ``at_256px``.
 
 Measured step: the production Overall-transfer device computation with the
 **int8-static executor** (models/vgg_fast.py): one encode of the content
@@ -18,8 +20,8 @@ static scales (requantization fused into each conv's epilogue); reflect-pad
 semantics preserved exactly (packed edge-pad / int8 reflect pad). Quality is
 measured in-run: PSNR of the int8 output vs the bf16 reference executor
 (whose own <1e-3-MAE torch parity is covered by tests/test_vgg_parity.py)
-is reported as ``quality_psnr_db``. The bf16 parity-mode rate is reported
-as ``bf16_img_per_sec`` for comparison.
+is reported as ``quality_psnr_db``; the int8 output is additionally held
+directly against an actual torch stack (``mae_int8_vs_torch``).
 
 Methodology: the iteration loop runs ON DEVICE (lax.fori_loop chaining each
 step's output into the next input) inside a single dispatch, and the result
@@ -27,18 +29,51 @@ is fetched with jax.device_get — so neither async dispatch nor unreliable
 host-side completion signals can inflate the number. Two device-loop lengths
 cancel the constant dispatch + transfer overhead:
   rate = batch * n_styles * (N2 - N1) / (t2 - t1).
+
+Crash resilience (round-4 hardening; the round-3 artifact was a traceback
+because the TPU worker died mid-measurement and took every already-completed
+number with it):
+  * The bare ``python bench.py`` invocation is an ORCHESTRATOR that never
+    touches the TPU backend itself. It takes an exclusive lockfile
+    (enforcing benchmarks/README.md's one-axon-process rule in code), then
+    runs each measurement phase in a CHILD process (``--inner``).
+  * The child flushes every completed measurement into BENCH_PARTIAL.json
+    *as it lands* — a mid-run worker crash leaves a parseable partial
+    artifact instead of nothing.
+  * If a child dies (rc != 0), the orchestrator retries it ONCE after a
+    cooldown; a fresh process re-acquires the tunnel's pool grant cleanly.
+  * Whatever happens, the orchestrator's last stdout line is valid JSON —
+    with measured values where phases completed and an ``error`` field
+    where they did not.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+BASELINE_IMG_PER_SEC = 75.9  # reference artifact, 256px b128 (BASELINE.md)
+LOCKFILE = os.environ.get("CCST_BENCH_LOCKFILE", "/tmp/ccst_axon_tpu.lock")
+PARTIAL_PATH = os.environ.get(
+    "CCST_BENCH_PARTIAL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"),
+)
 
+
+# ---------------------------------------------------------------------------
+# shared measurement helpers (used by the --inner child)
+# ---------------------------------------------------------------------------
 
 def device_rate(step, state, batch_imgs: int, n1: int = 2, n2: int = 8) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    reps = 3
+    if os.environ.get("CCST_BENCH_FAST"):  # CI smoke on CPU: 1 two-point pass
+        n1, n2, reps = 1, 3, 1
+
     @jax.jit
     def chain(state, iters):
         return jax.lax.fori_loop(0, iters, lambda _, x: step(x), state)
@@ -50,7 +85,7 @@ def device_rate(step, state, batch_imgs: int, n1: int = 2, n2: int = 8) -> float
 
     run(2)  # compile + warm
     rates = []
-    for _ in range(3):
+    for _ in range(reps):
         t1, t2 = run(n1), run(n2)
         rates.append(batch_imgs * (n2 - n1) / max(t2 - t1, 1e-9))
     return float(np.median(rates))
@@ -61,9 +96,9 @@ def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16):
     style_transfer/AdaIN/function.py:26-33 semantics, via the tests'
     torch twin) on CPU with the SAME weights and inputs, and return
     (MAE(int8, torch), MAE(bf16, torch), MAE(int8, torch)/output-span)."""
-    import sys
+    import numpy as np
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import torch
 
     from ccst_tpu.models import vgg as jvgg
@@ -96,13 +131,15 @@ def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16):
     return mae_q, mae_b, mae_q / span
 
 
-def _backend_watchdog(timeout_s: float = 600.0) -> None:
+def _backend_watchdog(metric: str, timeout_s: float = 600.0) -> None:
     """Fail fast (with a diagnostic JSON line) if the TPU backend cannot
     initialize. The tunnel's pool grant is exclusive and can wedge if a
     previous client died mid-claim (benchmarks/README.md operational rule);
     in that state ``jax.devices()`` hangs forever, which would silently eat
     the whole bench run. A visible error beats an invisible hang."""
     import threading
+
+    import jax
 
     done = threading.Event()
 
@@ -111,50 +148,80 @@ def _backend_watchdog(timeout_s: float = 600.0) -> None:
             print(
                 json.dumps(
                     {
-                        "metric": "stylize_img_per_sec_512px",
+                        "metric": metric,
                         "value": None,
                         "unit": "img/s",
                         "error": f"TPU backend init exceeded {timeout_s:.0f}s "
                         "(wedged pool grant? see benchmarks/README.md); "
-                        "last good on-chip runs: 1108.6 and 1109.12 img/s "
+                        "last good on-chip runs: 1108.6-1109.95 img/s @512px "
                         "(docs/STATUS.md round-3)",
                     }
                 ),
                 flush=True,
             )
-            import os as _os
-
-            _os._exit(3)
+            os._exit(3)
 
     threading.Thread(target=arm, daemon=True).start()
     jax.devices()  # blocks until the backend is up (or the watchdog fires)
     done.set()
 
 
-def main() -> None:
-    import argparse
+# ---------------------------------------------------------------------------
+# partial-artifact bookkeeping
+# ---------------------------------------------------------------------------
+
+def _load_partial() -> dict:
+    try:
+        with open(PARTIAL_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _flush_partial(partial: dict) -> None:
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(partial, f, indent=1)
+    os.replace(tmp, PARTIAL_PATH)
+
+
+# ---------------------------------------------------------------------------
+# the measurement child (one size per process: a TPU-worker crash in one
+# phase cannot destroy another phase's numbers, and a retry re-acquires the
+# pool grant with a clean process)
+# ---------------------------------------------------------------------------
+
+def run_inner(size: int, batch: int) -> int:
+    import jax
+
+    # CCST_BENCH_PLATFORM=cpu lets tests drive the ENTIRE orchestrator →
+    # child → partial-artifact → merge path on the host (the image's
+    # sitecustomize force-registers the axon TPU backend otherwise).
+    if os.environ.get("CCST_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CCST_BENCH_PLATFORM"])
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from ccst_tpu.models import vgg, vgg_fast
     from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
 
-    # Optional overrides for apples-to-apples runs (e.g. --size 256 matches
-    # the reference's committed 75.9 img/s artifact exactly). The bare
-    # invocation — what the driver runs — keeps the 512px defaults.
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=128)
-    cli = ap.parse_args()
+    metric = f"stylize_img_per_sec_{size}px"
+    _backend_watchdog(metric)
 
-    _backend_watchdog()
+    partial = _load_partial()
+    rec = partial.setdefault(str(size), {})
+    rec["metric"] = metric
+    rec["batch"] = batch
 
-    # int8 batch from the measured sweep (962 @32, 1051 @64, 1066 @96,
+    # int8 batch from the measured 512px sweep (962 @32, 1051 @64, 1066 @96,
     # 1110 @128, 1036 @192 dip, 1107 @256 — XLA per-op overheads amortize;
     # benchmarks/fused_step_ab.py + the bsweep probes). The bf16 comparator
-    # runs at 32: its level-1 tensors are 8x larger per image and b128
-    # would thrash HBM.
-    batch = cli.batch
-    bf16_batch = 32
-    size = cli.size
+    # runs at 32 at 512px (its level-1 tensors are 8x larger per image and
+    # b128 would thrash HBM); at 256px those tensors are 4x smaller, so the
+    # comparator batch matches the int8 batch (advisor r3: a b32 comparator
+    # at 256px understates bf16 and overstates the int8-vs-bf16 gap).
+    bf16_batch = 32 if size >= 512 else batch
     n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
     dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
@@ -169,6 +236,8 @@ def main() -> None:
     )
     eq = vgg_fast.prepare_encoder_q8s(enc, scales)
     dq = vgg_fast.prepare_decoder_q8s(dec, scales)
+    rec["calibrated"] = True
+    _flush_partial(partial)
 
     def multi(encode, decode):
         def step(x):
@@ -193,75 +262,237 @@ def main() -> None:
         lambda t: vgg.apply_decoder(dec, t),
     )
 
-    int8_rate = device_rate(int8_step, images, batch * n_styles)
-    bf16_rate = device_rate(
-        bf16_step, images[:bf16_batch], bf16_batch * n_styles
-    )
+    # --- headline int8 rate: the one number the child must land. Any crash
+    # here exits nonzero so the orchestrator retries with a fresh process.
+    rec["value"] = round(device_rate(int8_step, images, batch * n_styles), 2)
+    rec["vs_baseline"] = round(rec["value"] / BASELINE_IMG_PER_SEC, 2)
+    rec["engine"] = "int8-static"
+    _flush_partial(partial)
 
-    # in-run quality: int8 output vs the torch-parity bf16 executor
-    featb = vgg.apply_encoder(enc, images[:4].astype(jnp.bfloat16))
-    tb = adain_from_stats(featb, s_means[0], s_stds[0])
-    want = np.asarray(vgg.apply_decoder(dec, tb), np.float32)
-    featq = vgg_fast.apply_encoder_q8s(eq, images[:4])
-    tq = adain_from_stats(featq, s_means[0], s_stds[0])
-    got = np.asarray(vgg_fast.apply_decoder_q8s(dq, tq), np.float32)
-    span = float(want.max() - want.min()) or 1.0
-    psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
+    # --- everything after the headline is reported best-effort: a worker
+    # crash in a comparator must not discard the already-measured headline.
+    if os.environ.get("CCST_BENCH_FAST"):
+        # the bf16 comparator is software-emulated (and glacial) on CPU
+        rec["bf16_img_per_sec"] = "skipped (fast mode)"
+    else:
+        try:
+            rec["bf16_img_per_sec"] = round(
+                device_rate(bf16_step, images[:bf16_batch], bf16_batch * n_styles), 2
+            )
+            rec["bf16_batch"] = bf16_batch
+        except Exception as e:
+            rec["bf16_img_per_sec"] = None
+            rec["error_bf16"] = f"{type(e).__name__}: {e}"[:300]
+    _flush_partial(partial)
+
+    got = want = None
+    try:
+        # in-run quality: int8 output vs the torch-parity bf16 executor
+        featb = vgg.apply_encoder(enc, images[:4].astype(jnp.bfloat16))
+        tb = adain_from_stats(featb, s_means[0], s_stds[0])
+        want = np.asarray(vgg.apply_decoder(dec, tb), np.float32)
+        featq = vgg_fast.apply_encoder_q8s(eq, images[:4])
+        tq = adain_from_stats(featq, s_means[0], s_stds[0])
+        got = np.asarray(vgg_fast.apply_decoder_q8s(dq, tq), np.float32)
+        span = float(want.max() - want.min()) or 1.0
+        psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
+        rec["quality_psnr_db"] = round(psnr, 1)
+    except Exception as e:
+        rec["quality_psnr_db"] = None
+        rec["error_psnr"] = f"{type(e).__name__}: {e}"[:300]
+    _flush_partial(partial)
 
     # MAE of the HEADLINE engine directly against the torch formula at the
-    # benchmarked 512px (VERDICT r2 weak #2: the int8 engine itself must be
+    # benchmarked size (VERDICT r2 weak #2: the int8 engine itself must be
     # held to BASELINE's MAE-vs-torch bar, not just PSNR-vs-bf16). The same
     # weights drive an actual torch stack on CPU (tests/torch_ref twin) over
     # 2 of the benchmark images under style bank 0.
-    mae_int8_vs_torch = mae_bf16_vs_torch = rel = None
     try:
-        mae_int8_vs_torch, mae_bf16_vs_torch, rel = _mae_vs_torch(
+        if got is None:
+            raise RuntimeError("PSNR phase failed; no int8/bf16 outputs to compare")
+        mae_q, mae_b, rel = _mae_vs_torch(
             enc, dec, np.asarray(images[:2], np.float32),
             np.asarray(s_means[0]), np.asarray(s_stds[0]),
             got_int8=np.asarray(got[:2], np.float32),
             got_bf16=np.asarray(want[:2], np.float32),
         )
+        rec["mae_int8_vs_torch"] = round(mae_q, 6)
+        rec["mae_bf16_vs_torch"] = round(mae_b, 6)
+        # relative to the output span (random-init decoder outputs are not
+        # [0,1]; with the reference's real weights outputs are [0,1] and the
+        # relative number IS the BASELINE <1e-3 bar's scale)
+        rec["mae_int8_vs_torch_rel_span"] = round(rel, 6)
     except Exception as e:  # torch unavailable on some hosts: report why
-        mae_int8_vs_torch = f"unavailable: {e}"
+        rec["mae_int8_vs_torch"] = f"unavailable: {e}"[:300]
+    _flush_partial(partial)
+    print(f"# phase {size}px complete: {json.dumps(rec)}", flush=True)
+    return 0
 
+
+# ---------------------------------------------------------------------------
+# the orchestrator
+# ---------------------------------------------------------------------------
+
+def _acquire_lock():
+    """Enforce the one-axon-process rule (benchmarks/README.md) in code:
+    the tunnel TPU is an exclusive per-process pool grant, and two racing
+    backend inits wedge it server-side for hours. Returns the held fd, or
+    None if another process holds the lock."""
+    import fcntl
+
+    fd = os.open(LOCKFILE, os.O_CREAT | os.O_RDWR, 0o666)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        return None
+    os.ftruncate(fd, 0)
+    os.write(fd, f"pid={os.getpid()}\n".encode())
+    return fd
+
+
+def _run_child(size: int, batch: int, timeout_s: float) -> int:
+    import signal
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--inner", "--size", str(size), "--batch", str(batch),
+    ]
+    proc = subprocess.Popen(cmd)
+
+    # if the orchestrator itself is TERMed (driver timeout, operator), take
+    # the measurement child down too — an orphaned axon client would hold
+    # the exclusive TPU pool grant forever (benchmarks/README.md)
+    prev = signal.getsignal(signal.SIGTERM)
+
+    def _cleanup(signum, frame):
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _cleanup)
+    try:
+        return proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        return 124
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
+    headline_size = sizes_batches[0][0]
+    lock = _acquire_lock()
+    if lock is None:
+        print(
+            json.dumps(
+                {
+                    "metric": f"stylize_img_per_sec_{headline_size}px",
+                    "value": None,
+                    "unit": "img/s",
+                    "error": f"another axon-backend process holds {LOCKFILE}; "
+                    "the tunnel TPU pool grant is exclusive "
+                    "(benchmarks/README.md) — not starting a second client",
+                }
+            ),
+            flush=True,
+        )
+        return 2
+
+    # stale partials from a previous run must not masquerade as this run's
+    if os.path.exists(PARTIAL_PATH):
+        os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
+
+    for size, batch in sizes_batches:
+        rc = _run_child(size, batch, child_timeout_s)
+        done = _load_partial().get(str(size), {}).get("value") is not None
+        if rc not in (0, 3) and not done:
+            # one retry with a fresh process (fresh pool grant); rc 3 is
+            # the backend-init watchdog — the tunnel is down, retrying
+            # would burn another 600 s against a wedged grant
+            print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
+            time.sleep(20.0)
+            rc = _run_child(size, batch, child_timeout_s)
+        if rc == 3:
+            break  # backend unreachable; later phases would also hang
+
+    partial = _load_partial()
+    head = partial.get(str(headline_size), {})
+    side = partial.get("256", {}) if headline_size != 256 else {}
     result = {
-        "metric": f"stylize_img_per_sec_{size}px",
-        "value": round(int8_rate, 2),
+        "metric": f"stylize_img_per_sec_{headline_size}px",
+        "value": head.get("value"),
         "unit": "img/s",
-        "vs_baseline": round(int8_rate / 75.9, 2),
-        "engine": "int8-static",
-        "bf16_img_per_sec": round(bf16_rate, 2),
-        "quality_psnr_db": round(psnr, 1),
-        # headline-engine quality vs the torch formula (see
-        # _mae_vs_torch): absolute mean |err| and relative to the
-        # output span (random-init decoder outputs are not [0,1];
-        # with the reference's real weights outputs are [0,1] and
-        # the relative number IS the BASELINE <1e-3 bar's scale)
-        "mae_int8_vs_torch": mae_int8_vs_torch
-        if isinstance(mae_int8_vs_torch, str)
-        else round(mae_int8_vs_torch, 6),
-        "mae_bf16_vs_torch": None
-        if mae_bf16_vs_torch is None
-        else round(mae_bf16_vs_torch, 6),
-        "mae_int8_vs_torch_rel_span": None if rel is None else round(rel, 6),
+        "vs_baseline": head.get("vs_baseline"),
     }
-    if size == 512:
+    for k in (
+        "engine", "bf16_img_per_sec", "quality_psnr_db", "mae_int8_vs_torch",
+        "mae_bf16_vs_torch", "mae_int8_vs_torch_rel_span",
+    ):
+        if k in head:
+            result[k] = head[k]
+    if head.get("value") is not None and headline_size == 512:
         # Roofline vs the >=2000 img/s north star — settled by the round-3
         # per-layer measurement campaign AT 512px (docs/WINOGRAD.md): int8
         # Winograd F(2,3) was built and measured DEAD on v5e (transforms
         # alone cost 9x the conv; no int16 VPU subtract), the per-layer
         # table shows the engine within ~1% of its measured ceiling, and
         # literal 100%-MFU-everywhere plus the measured int8 elementwise
-        # floor caps one v5e chip at ~1870 img/s. 2000 needs a faster-int8
-        # chip (v5p/v6e) or a smaller network. These constants are specific
-        # to the 512px workload, so --size overrides omit them (their
-        # size-correct comparator is bf16_img_per_sec above).
+        # floor caps one v5e chip at ~1870 img/s.
         result.update(
             roofline_bf16_peak_img_per_sec=1284,
             roofline_int8_100pct_mfu_img_per_sec=1870,
             measured_per_layer_ceiling_img_per_sec=1150,
         )
-    print(json.dumps(result))
+    else:
+        result["error"] = (
+            "512px phase did not complete (see BENCH_PARTIAL.json); "
+            "last good on-chip runs: 1108.6/1109.12/1109.95 img/s "
+            "(docs/STATUS.md round-3)"
+        )
+    if side:
+        # the apples-to-apples line: the reference's EXACT committed workload
+        # (256px, batch 128; vs_baseline here is at equal per-image work)
+        result["at_256px"] = {
+            k: side[k]
+            for k in (
+                "value", "vs_baseline", "bf16_img_per_sec", "bf16_batch",
+                "quality_psnr_db", "mae_int8_vs_torch",
+            )
+            if k in side
+        }
+    print(json.dumps(result), flush=True)
+    return 0 if head.get("value") is not None else 1
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    # Optional overrides for one-off runs (e.g. --inner --size 256 measures
+    # only the reference's committed workload). The bare invocation — what
+    # the driver runs — orchestrates the 512px headline AND the 256px
+    # apples-to-apples phase, each in a crash-isolated child process.
+    # ``argv`` lets the `ccst-tpu bench` subcommand call in without its own
+    # argv leaking into this parser.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", action="store_true", help="run one measurement phase in-process")
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=128)
+    cli = ap.parse_args(argv)
+
+    if cli.inner:
+        sys.exit(run_inner(cli.size or 512, cli.batch))
+    if cli.size is not None:  # single-size orchestration (still crash-isolated)
+        sys.exit(_orchestrate([(cli.size, cli.batch)]))
+    sys.exit(_orchestrate([(512, 128), (256, 128)]))
 
 
 if __name__ == "__main__":

@@ -80,6 +80,75 @@ def main() -> None:
     t_warm = run_stylize()   # steady state (graphs cached)
     n_out = N_PER_DOMAIN * (len(domains) - 1)
 
+    # ---- overlap audit (VERDICT r3 weak #3): decompose the warm e2e wall
+    # into its two legs, measured IN ISOLATION over the same workload:
+    #   host leg  = decode every content image + encode every output
+    #   device leg = h2d + stylize_multi + d2h fetch (no disk)
+    # overlap_efficiency = (host + device - wall) / min(host, device):
+    # 1.0 = the smaller leg fully hidden behind the larger, 0.0 = serial.
+    import concurrent.futures as cf
+
+    import jax
+
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.data.loader import ImageBatchLoader
+    from ccst_tpu.models import vgg
+    from ccst_tpu.pipeline.stylize import StylizeEngine, bank_path_for
+    from ccst_tpu.pipeline.style_bank import load_style_stats
+
+    cfg = StylizeConfig(
+        dataset="pacs", target="art_painting", image_size=SIZE,
+        batch_size=48, data_root=root, list_root=root, output_root=root,
+        style_stats_dir=os.path.join(root, "style_stats"),
+        engine="int8-static",
+    )
+    names = [
+        f"PACS/kfold/art_painting/cls/img{i:03d}.jpg" for i in range(N_PER_DOMAIN)
+    ]
+    paths = [os.path.join(root, n) for n in names]
+
+    # host leg: decode all + encode all (same thread pools as production)
+    loader = ImageBatchLoader(paths, batch_size=48, image_size=SIZE)
+    t0 = time.perf_counter()
+    host_batches = [b.images for b in loader]
+    t_decode = time.perf_counter() - t0
+    enc_dir = os.path.join(root, "enc_probe")
+    outs_u8 = [
+        np.clip(b * 255, 0, 255).astype(np.float32) / 255.0 for b in host_batches
+    ]
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(8) as pool:
+        futs = []
+        for bi, b in enumerate(outs_u8):
+            for si in range(len(domains) - 1):
+                for j, img in enumerate(b):
+                    futs.append(pool.submit(
+                        save_image_u8, img,
+                        os.path.join(enc_dir, f"{bi}_{si}_{j}.jpg"),
+                    ))
+        for f in futs:
+            f.result()
+    t_encode = time.perf_counter() - t0
+    t_host = t_decode + t_encode
+
+    # device leg: same batches, no disk — h2d, multi-style step, d2h
+    styles = [d for d in domains if d != "art_painting"]
+    bank = [load_style_stats(bank_path_for(cfg, s)) for s in styles]
+    s_means = np.stack([m for m, _ in bank])
+    s_stds = np.stack([s for _, s in bank])
+    encp = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    decp = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    eng = StylizeEngine(encp, decp, engine="int8-static")  # self-calibrates
+    # warm/compile outside the timed region
+    _ = np.asarray(eng.stylize_multi(jnp.asarray(host_batches[0]), s_means, s_stds, 1.0))
+    t0 = time.perf_counter()
+    for b in host_batches:
+        _ = np.asarray(eng.stylize_multi(jnp.asarray(b), s_means, s_stds, 1.0))
+    t_device = time.perf_counter() - t0
+
+    overlap = (t_host + t_device - t_warm) / max(min(t_host, t_device), 1e-9)
+    overlap = max(0.0, min(1.0, overlap))
+
     # measure the tunnel's device<->host bandwidth so the e2e number can be
     # attributed (on this harness it IS the bottleneck)
     import jax
@@ -101,6 +170,12 @@ def main() -> None:
         "seconds_cold_incl_compile": round(t_cold, 2),
         "style_bank_seconds": round(t_bank, 2),
         "harness_device_to_host_MBps": round(down_mbs, 1),
+        # overlap audit: how much of the smaller leg hides behind the larger
+        "host_leg_seconds": round(t_host, 2),
+        "host_leg_decode_seconds": round(t_decode, 2),
+        "host_leg_encode_seconds": round(t_encode, 2),
+        "device_leg_seconds_incl_tunnel_xfer": round(t_device, 2),
+        "overlap_efficiency": round(overlap, 2),
         "harness_note": (
             "this dev harness reaches the TPU over a network tunnel; at "
             f"{down_mbs:.0f} MB/s device->host, moving each ~38 MB stylized "

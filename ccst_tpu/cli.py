@@ -512,7 +512,10 @@ def cmd_bench(args) -> int:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main()
+    try:
+        mod.main(argv=[])  # default orchestrated run; bench exits via sys.exit
+    except SystemExit as e:
+        return int(e.code or 0)
     return 0
 
 

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; dev fast tier: -m 'not slow'
+
 from ccst_tpu.config import FedConfig
 from ccst_tpu.data.lists import write_list
 from ccst_tpu.data.loader import save_image_u8

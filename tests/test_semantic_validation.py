@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; dev fast tier: -m 'not slow'
+
 from experiments import semantic_validation as sv
 
 

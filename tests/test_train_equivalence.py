@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale; dev fast tier: -m 'not slow'
 import torch
 import torch.nn.functional as F
 
