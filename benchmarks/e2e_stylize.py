@@ -138,7 +138,8 @@ def main() -> None:
     s_stds = np.stack([s for _, s in bank])
     encp = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
     decp = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
-    eng = StylizeEngine(encp, decp, engine="int8-static")  # self-calibrates
+    # self-calibrates; output_u8 matches the production CLI (cli.py:212)
+    eng = StylizeEngine(encp, decp, engine="int8-static", output_u8=True)
     # warm/compile outside the timed region
     _ = np.asarray(eng.stylize_multi(jnp.asarray(host_batches[0]), s_means, s_stds, 1.0))
     t0 = time.perf_counter()

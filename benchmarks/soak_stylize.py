@@ -177,7 +177,7 @@ def run_soak(
 
     eng = StylizeEngine(
         enc, dec, dtype=mesh_dtype, output_size=cfg.output_size,
-        engine=engine,
+        engine=engine, output_u8=True,  # production CLI setting (cli.py:212)
     )
     t0 = time.perf_counter()
     if engine in ("int8-static", "int8-fused"):

@@ -93,6 +93,7 @@ def test_mixstyle_variant_stochastic():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_densenet_96px_no_trainable_norm():
     model = get_network("densenet", classes=2)
     x = jnp.ones((2, 96, 96, 3))
@@ -118,6 +119,7 @@ def test_registry_unknown():
         get_network("nope", classes=2)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_densenet_dg_variants():
     """JigsawDenseNet / MixStyleDenseNet (nets/densenet.py:110-139): the
     factory's dg_method flags apply to densenet too."""

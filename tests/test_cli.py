@@ -38,6 +38,7 @@ def run_cli(*argv):
     return cli_main(list(argv))
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_cli_full_pipeline(cli_dataset, monkeypatch, capsys):
     import ccst_tpu.config as cc
 
@@ -127,6 +128,7 @@ def test_amp_bank_roundtrip(cli_dataset):
     assert bank2.shape == (2, 3, 36, 36)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_cli_stylize_int8_engine(cli_dataset, monkeypatch):
     """The quantized production engine through the CLI (self-calibrating
     int8-static; 36px content exercises the generic path — the fused engine
@@ -158,6 +160,7 @@ def test_cli_stylize_int8_engine(cli_dataset, monkeypatch):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_cli_calibrate_persists_scales(cli_dataset, monkeypatch):
     """VERDICT r2 weak #7: int8 calibration must persist. `calibrate` writes
     the scales artifact; two subsequent stylize runs with DIFFERENT batch

@@ -121,6 +121,7 @@ def test_cli_train_decoder(aux_dataset, capsys):
     assert np.isfinite(report["final_loss_s"])
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_cli_gan_train_with_fid(aux_dataset, capsys):
     root = aux_dataset
     out_dir = os.path.join(root, "gan")

@@ -3,6 +3,7 @@ discriminator heads, and a short end-to-end hinge-GAN run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ccst_tpu.privacy.gan import (
     Discriminator,
@@ -41,6 +42,7 @@ def test_discriminator_heads(rng):
     np.testing.assert_allclose(np.asarray(lm), np.asarray(lm2), rtol=1e-6)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_gan_short_training_run(rng):
     cfg = GanConfig(image_size=64, latent_dim=64, batch_size=4, steps=3,
                     fmap_max=32, lr=1e-3)

@@ -94,6 +94,7 @@ def test_export_rounds_csv(tmp_path):
     assert "test_acc" in lines[0]
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_inverter_dp_mesh(tmp_path, rng):
     """train_inverter with a data mesh: pjit-sharded batches, same API."""
     from jax.sharding import Mesh

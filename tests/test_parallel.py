@@ -107,6 +107,7 @@ def test_parallel_matches_sequential(rng):
         )
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_three_clients_on_eight_devices(rng):
     """The real PACS shape: 3 source clients on an 8-device mesh (client
     axis 1, data axis 8) — and a clear error when the client axis cannot
@@ -135,6 +136,7 @@ def test_three_clients_on_eight_devices(rng):
     assert np.all(np.isfinite(np.asarray(sp["conv1"]["kernel"])))
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_masked_steps_are_full_noops_and_excluded_from_loss(rng):
     """A padded (mask all-zero) step must leave params AND batch_stats
     untouched, and must not deflate the reported per-client loss."""
@@ -185,6 +187,7 @@ def test_spatial_sharded_stylize_matches_single_device(rng):
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_resnet50_param_sharding_model_axis(rng):
     """Tensor parallelism via GSPMD (parallel/tensor.py): ResNet-50 params
     sharded over the `model` axis of a (data=2, model=4) mesh; forward
@@ -231,6 +234,7 @@ def test_resnet50_param_sharding_model_axis(rng):
     np.testing.assert_allclose(g1, g2, atol=2e-4)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_spatial_stylize_int8_static_bit_matches():
     """The production int8-static executor under H-axis sharding: the
     integer conv paths are exact; the AdaIN content statistic is an f32
@@ -267,6 +271,7 @@ def test_spatial_stylize_int8_static_bit_matches():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_batch_stylize_int8_static_bit_matches():
     """Data-parallel (batch-sharded) int8 stylize: no cross-shard math, so
     the 8-way result is BIT-identical to the single device."""

@@ -82,6 +82,7 @@ def invert_dataset(tmp_path, rng):
     return root
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_invert_train_and_eval(invert_dataset):
     cfg = InvertConfig(
         dataset="pacs",
@@ -106,6 +107,7 @@ def test_invert_train_and_eval(invert_dataset):
     assert os.path.exists(os.path.join(report["recon_dir"], "psnr_perceptual.npy"))
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_invert_train_perceptual_loss(invert_dataset):
     """LPIPS-criterion training variant (imagenet_reconstruct_lpips.py):
     same template, loss = MSE + w * perceptual distance."""

@@ -71,6 +71,7 @@ def test_packed_rejects_odd_sizes(enc_dec):
         )
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_int8_static_scale_stylize_quality(enc_dec, images):
     """int8-e2e engine (static calibrated scales): quality must be in the
     same band as the dynamic-scale engine."""
@@ -119,6 +120,7 @@ def test_int8_stylize_quality(enc_dec, images):
     assert psnr > 20.0, f"int8 stylize PSNR {psnr:.1f} dB too low"
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_stylize_engine_executor_selection(enc_dec, images):
     """StylizeEngine(engine=...) wires every executor; packed == ref
     exactly, int8-static self-calibrates on first use and stays close."""
@@ -144,6 +146,7 @@ def test_stylize_engine_executor_selection(enc_dec, images):
     assert psnr > 20.0, f"int8-static engine PSNR {psnr:.1f}"
 
 
+@pytest.mark.slow  # int8/bf16 on XLA-CPU is scalar-slow; dev tier skips
 def test_stylize_engine_int8_fused_matches_static(rng):
     """StylizeEngine('int8-fused') == StylizeEngine('int8-static') bit for
     bit after identical calibration (the fused engine only changes HOW the
