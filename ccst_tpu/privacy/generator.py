@@ -49,9 +49,15 @@ class SLE(nn.Module):
 
     @nn.compact
     def __call__(self, low: Array, high: Array) -> Array:
-        s = jax.image.resize(
-            low, (low.shape[0], 4, 4, low.shape[-1]), method="bilinear"
-        )
+        # AdaptiveAvgPool2d((4,4)) (lightweight_gan.py:773): `low` sits at a
+        # power-of-two res divisible by 4, so adaptive = exact mean pooling.
+        # (Also lowers to reduce_window instead of a gather-based resize —
+        # the bilinear variant was implicated in a pathological remote
+        # compile on the dev tunnel.)
+        k = low.shape[1] // 4
+        s = low
+        if k > 1:
+            s = nn.avg_pool(s, (k, k), strides=(k, k))
         s = nn.Conv(self.features, (4, 4), padding="VALID")(s)  # -> 1x1
         s = nn.silu(s)
         s = nn.Conv(self.features, (1, 1))(s)
