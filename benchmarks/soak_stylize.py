@@ -32,10 +32,13 @@ import argparse
 import json
 import os
 import shutil
+import sys
 import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _rss_mb() -> float:
@@ -184,8 +187,29 @@ def run_soak(
         run_calibration(cfg, eng)
     t_calib = time.perf_counter() - t0
 
+    snap = {}
+    if os.environ.get("CCST_SOAK_TRACEMALLOC"):
+        # attribute RSS growth: python-heap deltas between the 25% and 75%
+        # marks of the stream point at a py-level leak; a flat py heap under
+        # rising RSS means native growth (allocator fragmentation / codec)
+        import tracemalloc
+
+        tracemalloc.start(10)
+
     with RssSampler() as rss:
         report = run_overall_transfer(cfg, eng)
+
+    if os.environ.get("CCST_SOAK_TRACEMALLOC"):
+        import tracemalloc
+
+        cur, peak = tracemalloc.get_traced_memory()
+        top = tracemalloc.take_snapshot().statistics("lineno")[:8]
+        snap = {
+            "py_heap_current_mb": round(cur / 1e6, 1),
+            "py_heap_peak_mb": round(peak / 1e6, 1),
+            "py_heap_top": [str(s) for s in top],
+        }
+        tracemalloc.stop()
     out = {
         "metric": "soak_stylize_outputs_per_sec",
         "value": round(report.images_per_sec, 2),
@@ -203,7 +227,15 @@ def run_soak(
         "calibrate_seconds": round(t_calib, 1),
         "kept_after_blank_filter": kept,
         **rss.stats(),
+        **snap,
     }
+    curve = os.environ.get("CCST_SOAK_RSS_CURVE")
+    if curve:
+        with open(curve, "w") as f:
+            json.dump(
+                [{"t_s": round(t, 1), "rss_mb": round(r, 1)}
+                 for t, r in rss.samples], f,
+            )
     return out
 
 
