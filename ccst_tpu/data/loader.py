@@ -27,12 +27,18 @@ except ImportError:  # pragma: no cover
     Image = None
 
 
-def load_image(path: str, size: Optional[int] = None) -> np.ndarray:
-    """Decode one image to float32 HWC RGB in [0, 1].
+def load_image(
+    path: str, size: Optional[int] = None, dtype: str = "float32"
+) -> np.ndarray:
+    """Decode one image to HWC RGB — float32 in [0, 1] by default.
 
     ``size`` resizes to (size, size) with bilinear (matching the stylize-side
     transform Resize(S, S) + ToTensor, cjm_util/data_helper.py:46-49 — note:
     no ImageNet normalization on the stylize path).
+
+    ``dtype="uint8"`` keeps the resized bytes: BIT-IDENTICAL content (the
+    float path divides these exact bytes by 255) at 1/4 the memory and
+    host->device traffic; the stylize engines normalize u8 on device.
     """
     if Image is None:
         raise RuntimeError("PIL is required for image loading")
@@ -40,12 +46,14 @@ def load_image(path: str, size: Optional[int] = None) -> np.ndarray:
         im = im.convert("RGB")
         if size is not None and im.size != (size, size):
             im = im.resize((size, size), Image.BILINEAR)
+        if dtype == "uint8":
+            return np.asarray(im, dtype=np.uint8)
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
 @dataclass
 class Batch:
-    images: np.ndarray          # (B, H, W, 3) float32 in [0,1]
+    images: np.ndarray          # (B, H, W, 3) float32 in [0,1], or uint8
     labels: np.ndarray          # (B,) int32
     paths: List[str]            # len == valid
     valid: int                  # rows < valid are real; rest padding
@@ -75,6 +83,7 @@ class ImageBatchLoader:
         prefetch: int = 4,
         loop: bool = False,
         backend: str = "auto",   # "auto" | "native" | "pil"
+        out_dtype: str = "float32",   # "float32" | "uint8" (u8 transport)
     ):
         if backend == "auto":
             from ccst_tpu import native
@@ -94,6 +103,7 @@ class ImageBatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.loop = loop
+        self.out_dtype = out_dtype
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -117,9 +127,16 @@ class ImageBatchLoader:
             images = native.decode_resize_batch(
                 [self.paths[i] for i in idxs], self.image_size, self.num_workers
             )
+            if self.out_dtype == "uint8":
+                # exact: the native resize is PIL-parity (tests/test_native_io),
+                # so every value is an integer/255 and the round-trip is lossless
+                images = (images * 255.0 + 0.5).astype(np.uint8)
         else:
             futs = [
-                pool.submit(load_image, self.paths[i], self.image_size) for i in idxs
+                pool.submit(
+                    load_image, self.paths[i], self.image_size, self.out_dtype
+                )
+                for i in idxs
             ]
             images = np.stack([f.result() for f in futs], axis=0)
         labels = np.asarray(self.labels[idxs], np.int32)

@@ -145,9 +145,18 @@ class StylizeEngine:
                 out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
             return out
 
+        def as_input(images):
+            # u8 transport: loaders may ship uint8 batches (4x less h2d
+            # traffic than float32 — the PCIe/tunnel leg of the pipeline);
+            # normalize on device. Bit-identical to host-side float batches:
+            # both are the same integer bytes / 255 in float32.
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            return images.astype(self.dtype)
+
         @jax.jit
         def _stylize(images, s_mean, s_std, alpha):
-            feat = encode(images.astype(self.dtype))
+            feat = encode(as_input(images))
             t = adain_from_stats(feat, s_mean, s_std)
             t = alpha_blend(t, feat, jnp.asarray(alpha, t.dtype))
             return finish(decode(t))
@@ -160,7 +169,7 @@ class StylizeEngine:
             (CCST_OverallStyleTransfer.py:138-156) — ~1/3 excess FLOPs for 3
             styles. Outputs are identical: AdaIN consumes the same content
             features either way. s_means/s_stds: (S, C)."""
-            feat = encode(images.astype(self.dtype))
+            feat = encode(as_input(images))
 
             def one(s_mean, s_std):
                 t = adain_from_stats(feat, s_mean, s_std)
@@ -190,8 +199,11 @@ class StylizeEngine:
 
         if self.engine not in ("int8-static", "int8-fused"):
             return
+        images = np.asarray(images[:max_images])
+        if images.dtype == np.uint8:  # u8-transport batches calibrate in f32
+            images = images.astype(np.float32) / 255.0
         scales = vgg_fast.calibrate_scales(
-            self.enc, self.dec, jnp.asarray(images[:max_images]),
+            self.enc, self.dec, jnp.asarray(images),
             [(jnp.asarray(m), jnp.asarray(s)) for m, s in style_stats],
         )
         self.scales = scales
@@ -302,6 +314,12 @@ class TransferReport:
     images: int          # content images stylized per style
     seconds: float
     images_per_sec: float
+    # pipeline stall attribution (batch-major path): how long the main loop
+    # sat blocked on each stage. decode/encode are hidden behind device work
+    # when loader_wait ~ 0 and the writeback backpressure inside fetch_wait
+    # is small — the direct overlap evidence for the threaded pipeline.
+    loader_wait_seconds: float = 0.0   # waiting for a decoded batch
+    fetch_wait_seconds: float = 0.0    # device compute + d2h + enc backpressure
 
 
 def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
@@ -317,6 +335,10 @@ def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
         batch_size=cfg.batch_size,
         image_size=cfg.image_size,
         shuffle=False,
+        # u8 transport: content ships to the device as the decoded bytes
+        # (1/4 the h2d traffic); the engine normalizes on device,
+        # bit-identically to float batches (loader.py::load_image)
+        out_dtype="uint8",
     )
     return loader, names
 
@@ -401,16 +423,41 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
         with cf.ThreadPoolExecutor(8) as pool:
             offset = 0
             futs: List[cf.Future] = []
-            for batch in loader:
+            # double buffering: the device->host fetch of batch N happens
+            # AFTER batch N+1 is dispatched, so device compute (and on the
+            # dev harness the tunnel transfer) of N+1 overlaps the fetch,
+            # encode threads, and loader prefetch of N. One extra in-flight
+            # output batch lives on device (u8: ~S*B*H*W*3 bytes).
+            pending = None  # (device outputs, valid, rel names)
+            t_loader = t_fetch = 0.0
+
+            def flush(p) -> None:
+                nonlocal n_done
+                outs_d, valid, rel = p
+                outs_np = np.asarray(outs_d)[:, :valid]
+                for si, style in enumerate(styles):
+                    _writeback(pool, outs_np[si], rel, cfg, style, mode, futs)
+                    n_done += valid
+
+            it = iter(loader)
+            while True:
+                t1 = time.perf_counter()
+                batch = next(it, None)
+                t_loader += time.perf_counter() - t1
+                if batch is None:
+                    break
                 outs = engine.stylize_multi(
                     jnp.asarray(batch.images), s_means, s_stds, cfg.alpha
                 )
                 rel = rel_names[offset : offset + batch.valid]
-                outs_np = np.asarray(outs[:, : batch.valid])
-                for si, style in enumerate(styles):
-                    _writeback(pool, outs_np[si], rel, cfg, style, mode, futs)
-                    n_done += batch.valid
                 offset += batch.valid
+                if pending is not None:
+                    t1 = time.perf_counter()
+                    flush(pending)
+                    t_fetch += time.perf_counter() - t1
+                pending = (outs, batch.valid, rel)
+            if pending is not None:
+                flush(pending)
             for f in futs:
                 f.result()
         elapsed = time.perf_counter() - t0
@@ -420,6 +467,8 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
             images=n_done // max(len(styles), 1),
             seconds=elapsed,
             images_per_sec=n_done / max(elapsed, 1e-9),
+            loader_wait_seconds=round(t_loader, 3),
+            fetch_wait_seconds=round(t_fetch, 3),
         )
         _write_timing(cfg, mode, report)
         return report
@@ -444,9 +493,21 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                     batch_size=cfg.batch_size,
                     image_size=cfg.image_size,
                     shuffle=False,
+                    out_dtype="uint8",
                 )
             offset = 0
             futs: List[cf.Future] = []
+            pending = None  # (device output, valid, rel): same double
+            # buffering as the batch-major path — fetch N after dispatch N+1
+
+            def flush(p) -> None:
+                nonlocal n_done
+                out_d, valid, rel = p
+                _writeback(
+                    pool, np.asarray(out_d)[:valid], rel, cfg, style, mode, futs
+                )
+                n_done += valid
+
             for batch in style_loader:
                 if single:
                     style_img = load_image(
@@ -458,11 +519,13 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                 out = engine.stylize(
                     jnp.asarray(batch.images), s_mean, s_std, cfg.alpha
                 )
-                out_np = np.asarray(out[: batch.valid])
                 rel = style_rels[offset : offset + batch.valid]
-                _writeback(pool, out_np, rel, cfg, style, mode, futs)
                 offset += batch.valid
-                n_done += batch.valid
+                if pending is not None:
+                    flush(pending)
+                pending = (out, batch.valid, rel)
+            if pending is not None:
+                flush(pending)
             for f in futs:
                 f.result()
 
@@ -497,6 +560,8 @@ def _write_timing(cfg: StylizeConfig, mode: str, report: TransferReport) -> None
                 "images_per_sec": report.images_per_sec,
                 "image_size": cfg.image_size,
                 "batch_size": cfg.batch_size,
+                "loader_wait_seconds": report.loader_wait_seconds,
+                "fetch_wait_seconds": report.fetch_wait_seconds,
             },
             f,
             indent=2,
