@@ -134,10 +134,13 @@ def main() -> None:
                 cwd=REPO,
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            row = json.loads(line) if line.startswith("{") else {
-                "case": case, "size": size, "ok": False,
-                "rc": out.returncode, "stderr_tail": out.stderr[-500:],
-            }
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:  # killed mid-print / junk stdout
+                row = {
+                    "case": case, "size": size, "ok": False,
+                    "rc": out.returncode, "stderr_tail": out.stderr[-500:],
+                }
         except subprocess.TimeoutExpired:
             row = {"case": case, "size": size, "ok": False,
                    "timeout_s": args.timeout,

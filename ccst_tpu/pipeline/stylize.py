@@ -314,12 +314,16 @@ class TransferReport:
     images: int          # content images stylized per style
     seconds: float
     images_per_sec: float
-    # pipeline stall attribution (batch-major path): how long the main loop
-    # sat blocked on each stage. decode/encode are hidden behind device work
-    # when loader_wait ~ 0 and the writeback backpressure inside fetch_wait
-    # is small — the direct overlap evidence for the threaded pipeline.
-    loader_wait_seconds: float = 0.0   # waiting for a decoded batch
-    fetch_wait_seconds: float = 0.0    # device compute + d2h + enc backpressure
+    # pipeline stall attribution: how long the main loop sat blocked on each
+    # stage. decode/encode are hidden behind device work when loader_wait,
+    # encode_backpressure and encode_drain are all ~ 0 — the direct overlap
+    # evidence for the threaded pipeline. (first_batch_wait is the one decode
+    # no pipeline could hide: there is no device work in flight yet.)
+    loader_wait_seconds: float = 0.0        # waiting for a decoded batch
+    fetch_wait_seconds: float = 0.0         # device compute + d2h (+ the two below)
+    first_batch_wait_seconds: float = 0.0   # unhideable priming decode
+    encode_backpressure_seconds: float = 0.0  # writeback queue full
+    encode_drain_seconds: float = 0.0       # final futures drain
 
 
 def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
@@ -364,15 +368,53 @@ def _writeback(
     style: str,
     mode: str,
     futs: List[cf.Future],
-) -> None:
+) -> float:
     """Queue the batch's images for encoding via _out_path_of (the SAME path
-    logic skip_existing checks), applying write-back backpressure."""
+    logic skip_existing checks), applying write-back backpressure. Returns
+    the seconds spent blocked on backpressure (encode slower than stylize —
+    the only way encoding can stall the main loop before the final drain)."""
     for img, rel in zip(outputs, rel_names):
         futs.append(
             pool.submit(save_image_u8, img, _out_path_of(cfg, rel, style, mode))
         )
+    t1 = time.perf_counter()
     while len(futs) > _MAX_INFLIGHT_WRITES:
         futs.pop(0).result()
+    return time.perf_counter() - t1
+
+
+class _DispatchAhead:
+    """One-slot dispatch-ahead pipeline for the transfer loops.
+
+    The device->host fetch of batch N runs only after batch N+1 has been
+    dispatched, so device compute (and, on the dev harness, the tunnel
+    transfer) of N+1 overlaps batch N's fetch, the encode threads, and the
+    loader's prefetch. Exactly one extra in-flight output batch lives on
+    device (u8: ~S*B*H*W*3 bytes). ``fetch_seconds`` accumulates the wall
+    time the main loop sat blocked in fetches, INCLUDING the final drain
+    and any encode backpressure inside the emit callback (reported
+    separately by the caller via _writeback's return value).
+    """
+
+    def __init__(self) -> None:
+        self._pending = None   # (device array, emit callback)
+        self.fetch_seconds = 0.0
+
+    def push(self, outs_device, emit) -> None:
+        prev, self._pending = self._pending, (outs_device, emit)
+        if prev is not None:
+            self._flush(prev)
+
+    def drain(self) -> None:
+        if self._pending is not None:
+            self._flush(self._pending)
+            self._pending = None
+
+    def _flush(self, p) -> None:
+        t1 = time.perf_counter()
+        outs_device, emit = p
+        emit(np.asarray(outs_device))
+        self.fetch_seconds += time.perf_counter() - t1
 
 
 def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> TransferReport:
@@ -423,43 +465,44 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
         with cf.ThreadPoolExecutor(8) as pool:
             offset = 0
             futs: List[cf.Future] = []
-            # double buffering: the device->host fetch of batch N happens
-            # AFTER batch N+1 is dispatched, so device compute (and on the
-            # dev harness the tunnel transfer) of N+1 overlaps the fetch,
-            # encode threads, and loader prefetch of N. One extra in-flight
-            # output batch lives on device (u8: ~S*B*H*W*3 bytes).
-            pending = None  # (device outputs, valid, rel names)
-            t_loader = t_fetch = 0.0
-
-            def flush(p) -> None:
-                nonlocal n_done
-                outs_d, valid, rel = p
-                outs_np = np.asarray(outs_d)[:, :valid]
-                for si, style in enumerate(styles):
-                    _writeback(pool, outs_np[si], rel, cfg, style, mode, futs)
-                    n_done += valid
-
+            pipe = _DispatchAhead()
+            t_loader = t_first = t_bp = 0.0
             it = iter(loader)
+            first = True
             while True:
                 t1 = time.perf_counter()
                 batch = next(it, None)
-                t_loader += time.perf_counter() - t1
+                dt = time.perf_counter() - t1
+                if first:
+                    # the first batch's decode has no device work to hide
+                    # behind — report it separately, not as a pipeline stall
+                    t_first, first = dt, False
+                else:
+                    t_loader += dt
                 if batch is None:
                     break
+                # slice to the valid rows ON DEVICE so final-batch padding
+                # never crosses the d2h link
                 outs = engine.stylize_multi(
                     jnp.asarray(batch.images), s_means, s_stds, cfg.alpha
-                )
+                )[:, : batch.valid]
                 rel = rel_names[offset : offset + batch.valid]
                 offset += batch.valid
-                if pending is not None:
-                    t1 = time.perf_counter()
-                    flush(pending)
-                    t_fetch += time.perf_counter() - t1
-                pending = (outs, batch.valid, rel)
-            if pending is not None:
-                flush(pending)
+
+                def emit(outs_np, rel=rel):
+                    nonlocal n_done, t_bp
+                    for si, style in enumerate(styles):
+                        t_bp += _writeback(
+                            pool, outs_np[si], rel, cfg, style, mode, futs
+                        )
+                        n_done += len(rel)
+
+                pipe.push(outs, emit)
+            pipe.drain()
+            t1 = time.perf_counter()
             for f in futs:
                 f.result()
+            t_drain = time.perf_counter() - t1
         elapsed = time.perf_counter() - t0
         report = TransferReport(
             target=cfg.target,
@@ -468,11 +511,15 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
             seconds=elapsed,
             images_per_sec=n_done / max(elapsed, 1e-9),
             loader_wait_seconds=round(t_loader, 3),
-            fetch_wait_seconds=round(t_fetch, 3),
+            fetch_wait_seconds=round(pipe.fetch_seconds, 3),
+            first_batch_wait_seconds=round(t_first, 3),
+            encode_backpressure_seconds=round(t_bp, 3),
+            encode_drain_seconds=round(t_drain, 3),
         )
         _write_timing(cfg, mode, report)
         return report
 
+    t_loader = t_first = t_bp = t_fetch = t_drain = 0.0
     with cf.ThreadPoolExecutor(8) as pool:
         for style in styles:
             if not single:
@@ -497,18 +544,20 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                 )
             offset = 0
             futs: List[cf.Future] = []
-            pending = None  # (device output, valid, rel): same double
-            # buffering as the batch-major path — fetch N after dispatch N+1
-
-            def flush(p) -> None:
-                nonlocal n_done
-                out_d, valid, rel = p
-                _writeback(
-                    pool, np.asarray(out_d)[:valid], rel, cfg, style, mode, futs
-                )
-                n_done += valid
-
-            for batch in style_loader:
+            pipe = _DispatchAhead()
+            it = iter(style_loader)
+            first = True
+            while True:
+                t1 = time.perf_counter()
+                batch = next(it, None)
+                dt = time.perf_counter() - t1
+                if first:
+                    t_first += dt
+                    first = False
+                else:
+                    t_loader += dt
+                if batch is None:
+                    break
                 if single:
                     style_img = load_image(
                         rng.choice(style_lists[style]), cfg.image_size
@@ -518,16 +567,22 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                     )
                 out = engine.stylize(
                     jnp.asarray(batch.images), s_mean, s_std, cfg.alpha
-                )
+                )[: batch.valid]
                 rel = style_rels[offset : offset + batch.valid]
                 offset += batch.valid
-                if pending is not None:
-                    flush(pending)
-                pending = (out, batch.valid, rel)
-            if pending is not None:
-                flush(pending)
+
+                def emit(out_np, rel=rel, style=style):
+                    nonlocal n_done, t_bp
+                    t_bp += _writeback(pool, out_np, rel, cfg, style, mode, futs)
+                    n_done += len(rel)
+
+                pipe.push(out, emit)
+            pipe.drain()
+            t_fetch += pipe.fetch_seconds
+            t1 = time.perf_counter()
             for f in futs:
                 f.result()
+            t_drain += time.perf_counter() - t1
 
     elapsed = time.perf_counter() - t0
     report = TransferReport(
@@ -536,6 +591,11 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
         images=n_done // max(len(styles), 1),
         seconds=elapsed,
         images_per_sec=n_done / max(elapsed, 1e-9),
+        loader_wait_seconds=round(t_loader, 3),
+        fetch_wait_seconds=round(t_fetch, 3),
+        first_batch_wait_seconds=round(t_first, 3),
+        encode_backpressure_seconds=round(t_bp, 3),
+        encode_drain_seconds=round(t_drain, 3),
     )
     _write_timing(cfg, mode, report)
     return report
@@ -562,6 +622,9 @@ def _write_timing(cfg: StylizeConfig, mode: str, report: TransferReport) -> None
                 "batch_size": cfg.batch_size,
                 "loader_wait_seconds": report.loader_wait_seconds,
                 "fetch_wait_seconds": report.fetch_wait_seconds,
+                "first_batch_wait_seconds": report.first_batch_wait_seconds,
+                "encode_backpressure_seconds": report.encode_backpressure_seconds,
+                "encode_drain_seconds": report.encode_drain_seconds,
             },
             f,
             indent=2,

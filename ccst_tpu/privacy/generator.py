@@ -54,6 +54,10 @@ class SLE(nn.Module):
         # (Also lowers to reduce_window instead of a gather-based resize —
         # the bilinear variant was implicated in a pathological remote
         # compile on the dev tunnel.)
+        if low.shape[1] < 4 or low.shape[1] % 4:
+            raise ValueError(
+                f"SLE expects a low-res input divisible by 4, got {low.shape}"
+            )
         k = low.shape[1] // 4
         s = low
         if k > 1:
