@@ -71,9 +71,11 @@ def _abs(paths: List[str], root: str) -> List[str]:
 def build_client_data(cfg: FedConfig) -> Tuple[List[ClientData], ImageBatchLoader]:
     """Returns ([client data per source domain], target test loader).
 
-    Images come out of the loaders raw [0,1] at ``loader_size`` (the train
-    transform crops on device). For deepall mode a single concatenated
-    pseudo-client named "deepall" is returned.
+    Images come out of the loaders as uint8 bytes at ``loader_size``
+    (u8 transport — 1/4 the host->device traffic; ``runtime._batch_dict``
+    converts to the raw [0,1] float the device transforms expect,
+    bit-identically to float32 loading). For deepall mode a single
+    concatenated pseudo-client named "deepall" is returned.
     """
     spec = cfg.spec
     fusion = _fusion_dir(cfg)
@@ -107,6 +109,9 @@ def build_client_data(cfg: FedConfig) -> Tuple[List[ClientData], ImageBatchLoade
             image_size=loader_size,
             shuffle=True,
             seed=cfg.seed,
+            # u8 transport: runtime._batch_dict converts to [0,1] float on
+            # device, bit-identically to float32 batches
+            out_dtype="uint8",
         )
         val_loader = ImageBatchLoader(
             _abs(va_n, cfg.data_root),
@@ -114,6 +119,7 @@ def build_client_data(cfg: FedConfig) -> Tuple[List[ClientData], ImageBatchLoade
             batch_size=cfg.batch_size,
             image_size=cfg.image_size,
             shuffle=False,
+            out_dtype="uint8",
         )
         clients.append(
             ClientData(
@@ -136,6 +142,7 @@ def build_client_data(cfg: FedConfig) -> Tuple[List[ClientData], ImageBatchLoade
             image_size=loader_size,
             shuffle=True,
             seed=cfg.seed,
+            out_dtype="uint8",
         )
         clients = [
             ClientData(
@@ -156,5 +163,6 @@ def build_client_data(cfg: FedConfig) -> Tuple[List[ClientData], ImageBatchLoade
         batch_size=cfg.batch_size,
         image_size=cfg.image_size,
         shuffle=False,
+        out_dtype="uint8",
     )
     return clients, test_loader

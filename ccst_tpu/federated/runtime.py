@@ -47,11 +47,23 @@ Array = jax.Array
 State = Dict[str, Any]
 
 
+@jax.jit
+def _u8_to_unit(x: Array) -> Array:
+    return x.astype(jnp.float32) / 255.0
+
+
 def _batch_dict(batch: Batch) -> Dict[str, Array]:
     b = batch.images.shape[0]
     mask = (np.arange(b) < batch.valid).astype(np.float32)
+    imgs = jnp.asarray(batch.images)
+    if imgs.dtype == jnp.uint8:
+        # u8 transport (federated/data.py loaders): images cross PCIe as
+        # bytes (1/4 the traffic) and convert to the raw [0,1] float the
+        # train steps expect ON DEVICE — bit-identical to shipping float32
+        # (the same integer bytes / 255 either way)
+        imgs = _u8_to_unit(imgs)
     return {
-        "images": jnp.asarray(batch.images),
+        "images": imgs,
         "labels": jnp.asarray(batch.labels),
         "mask": jnp.asarray(mask),
     }
