@@ -108,9 +108,15 @@ def build_tree(
             if i < n_blank:
                 img = np.full((px, px, 3), 0.985, np.float32)  # blank margin
             else:
+                # low-frequency blobs + fine noise: pixel-iid noise alone
+                # averages to a constant under downsampling, so at large px
+                # the 64px-thumbnail blank filter would (correctly) discard
+                # it — real tissue has structure that survives resize
                 base = 0.55 if cls == 0 else 0.45
+                coarse = rng.normal(0.0, 0.12, (max(px // 16, 1),) * 2 + (3,))
+                coarse = np.repeat(np.repeat(coarse, 16, 0), 16, 1)[:px, :px]
                 img = np.clip(
-                    rng.normal(base, 0.15, (px, px, 3)), 0, 1
+                    base + coarse + rng.normal(0, 0.05, (px, px, 3)), 0, 1
                 ).astype(np.float32)
             save_image_u8(img, os.path.join(root, rel))
             names.append(rel)

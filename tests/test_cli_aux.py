@@ -263,3 +263,17 @@ def test_calibrate_custom_scales_path_and_fingerprint(aux_dataset, monkeypatch, 
     assert "stale calibration" in capsys.readouterr().out
     # ...while the right weights still auto-load it
     assert _load_scales_for(cfg, enc, dec) is not None
+
+
+def test_compile_cache_env_wiring(tmp_path, monkeypatch):
+    """CCST_COMPILE_CACHE points jax's persistent compilation cache at a
+    directory (cli.py main(); '1' selects the default user-cache path).
+    Repeat CLI invocations then reload serialized executables instead of
+    recompiling — verified live on the TPU backend (docs/STATUS.md r4)."""
+    import jax
+
+    cache_dir = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("CCST_COMPILE_CACHE", cache_dir)
+    with pytest.raises(SystemExit):
+        run_cli("--help")  # the env wiring runs before argparse
+    assert jax.config.jax_compilation_cache_dir == cache_dir
