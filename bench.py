@@ -351,82 +351,61 @@ def _acquire_lock():
     return fd
 
 
-def _run_child(size: int, batch: int, timeout_s: float) -> int:
-    import signal
+def _terminate(proc) -> None:
+    """terminate -> 10 s grace -> kill, always reaping: a SIGKILLed axon
+    child must be fully gone (not a zombie mid-teardown) before a retry's
+    backend init touches the tunnel, or the two clients race for the
+    exclusive pool grant."""
+    import subprocess
+
+    proc.terminate()
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+
+
+def _run_child(size: int, batch: int, timeout_s: float, current: dict) -> int:
     import subprocess
 
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--inner", "--size", str(size), "--batch", str(batch),
     ]
-    proc = subprocess.Popen(cmd)
-
-    # if the orchestrator itself is TERMed (driver timeout, operator), take
-    # the measurement child down too — an orphaned axon client would hold
-    # the exclusive TPU pool grant forever (benchmarks/README.md)
-    prev = signal.getsignal(signal.SIGTERM)
-
-    def _cleanup(signum, frame):
-        proc.terminate()
-        try:
-            proc.wait(timeout=10)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-        os._exit(128 + signum)
-
-    signal.signal(signal.SIGTERM, _cleanup)
+    # mark orchestrated children: they must NOT take the (already-held)
+    # lockfile and must NOT rotate the partial artifact
+    env = {**os.environ, "CCST_BENCH_ORCH": "1"}
+    # current["proc"] feeds the orchestrator's SIGTERM handler (installed
+    # BEFORE any child spawns), so a driver timeout can never orphan a
+    # running axon client
+    current["proc"] = proc = subprocess.Popen(cmd, env=env)
     try:
         return proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        proc.terminate()
-        try:
-            proc.wait(timeout=10)
-        except subprocess.TimeoutExpired:
-            proc.kill()
+        _terminate(proc)
         return 124
     finally:
-        signal.signal(signal.SIGTERM, prev)
+        current["proc"] = None
 
 
-def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
-    headline_size = sizes_batches[0][0]
-    lock = _acquire_lock()
-    if lock is None:
-        print(
-            json.dumps(
-                {
-                    "metric": f"stylize_img_per_sec_{headline_size}px",
-                    "value": None,
-                    "unit": "img/s",
-                    "error": f"another axon-backend process holds {LOCKFILE}; "
-                    "the tunnel TPU pool grant is exclusive "
-                    "(benchmarks/README.md) — not starting a second client",
-                }
-            ),
-            flush=True,
-        )
-        return 2
+def _lock_held_result(headline_size: int) -> dict:
+    return {
+        "metric": f"stylize_img_per_sec_{headline_size}px",
+        "value": None,
+        "unit": "img/s",
+        "error": f"another axon-backend process holds {LOCKFILE}; "
+        "the tunnel TPU pool grant is exclusive "
+        "(benchmarks/README.md) — not starting a second client",
+    }
 
-    # stale partials from a previous run must not masquerade as this run's
-    if os.path.exists(PARTIAL_PATH):
-        os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
 
-    for size, batch in sizes_batches:
-        rc = _run_child(size, batch, child_timeout_s)
-        done = _load_partial().get(str(size), {}).get("value") is not None
-        if rc not in (0, 3) and not done:
-            # one retry with a fresh process (fresh pool grant); rc 3 is
-            # the backend-init watchdog — the tunnel is down, retrying
-            # would burn another 600 s against a wedged grant
-            print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
-            time.sleep(20.0)
-            rc = _run_child(size, batch, child_timeout_s)
-        if rc == 3:
-            break  # backend unreachable; later phases would also hang
-
+def _merged_result(headline_size: int, sizes_batches) -> dict:
+    """Build the final driver JSON from whatever phases BENCH_PARTIAL.json
+    holds. Total function of the partial state — also used by the SIGTERM
+    path so completed measurements survive an orchestrator kill."""
     partial = _load_partial()
     head = partial.get(str(headline_size), {})
-    side = partial.get("256", {}) if headline_size != 256 else {}
     result = {
         "metric": f"stylize_img_per_sec_{headline_size}px",
         "value": head.get("value"),
@@ -439,7 +418,13 @@ def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
     ):
         if k in head:
             result[k] = head[k]
-    if head.get("value") is not None and headline_size == 512:
+    if head.get("value") is None:
+        result["error"] = (
+            f"{headline_size}px phase did not complete (see "
+            "BENCH_PARTIAL.json); last good on-chip runs: "
+            "1108.3-1110.7 img/s @512px (docs/STATUS.md)"
+        )
+    elif headline_size == 512:
         # Roofline vs the >=2000 img/s north star — settled by the round-3
         # per-layer measurement campaign AT 512px (docs/WINOGRAD.md): int8
         # Winograd F(2,3) was built and measured DEAD on v5e (transforms
@@ -452,25 +437,73 @@ def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
             roofline_int8_100pct_mfu_img_per_sec=1870,
             measured_per_layer_ceiling_img_per_sec=1150,
         )
-    else:
-        result["error"] = (
-            "512px phase did not complete (see BENCH_PARTIAL.json); "
-            "last good on-chip runs: 1108.6/1109.12/1109.95 img/s "
-            "(docs/STATUS.md round-3)"
-        )
-    if side:
-        # the apples-to-apples line: the reference's EXACT committed workload
-        # (256px, batch 128; vs_baseline here is at equal per-image work)
-        result["at_256px"] = {
-            k: side[k]
-            for k in (
-                "value", "vs_baseline", "bf16_img_per_sec", "bf16_batch",
-                "quality_psnr_db", "mae_int8_vs_torch",
-            )
-            if k in side
-        }
+    for size, _ in sizes_batches[1:]:
+        side = partial.get(str(size), {})
+        if side:
+            # side phases, e.g. at_256px: the reference's EXACT committed
+            # workload (256px b128; vs_baseline = equal per-image work)
+            result[f"at_{size}px"] = {
+                k: side[k]
+                for k in (
+                    "value", "vs_baseline", "bf16_img_per_sec", "bf16_batch",
+                    "quality_psnr_db", "mae_int8_vs_torch",
+                )
+                if k in side
+            }
+    return result
+
+
+def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
+    import signal
+
+    headline_size = sizes_batches[0][0]
+    lock = _acquire_lock()
+    if lock is None:
+        print(json.dumps(_lock_held_result(headline_size)), flush=True)
+        return 2
+
+    # stale partials from a previous run must not masquerade as this run's
+    if os.path.exists(PARTIAL_PATH):
+        os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
+
+    current: dict = {"proc": None}
+
+    def _on_term(signum, frame):
+        # driver timeout / operator TERM: take the measurement child down
+        # (an orphaned axon client would hold the exclusive TPU pool grant
+        # forever) and STILL emit the merged JSON — phases that completed
+        # before the signal must not be lost (the round-3 failure mode).
+        p = current["proc"]
+        if p is not None:
+            _terminate(p)
+        res = _merged_result(headline_size, sizes_batches)
+        res["error"] = (
+            res.get("error", "").rstrip()
+            + f" [orchestrator terminated by signal {signum}]"
+        ).strip()
+        print(json.dumps(res), flush=True)
+        os._exit(128 + signum)
+
+    prev = signal.signal(signal.SIGTERM, _on_term)
+    try:
+        for size, batch in sizes_batches:
+            rc = _run_child(size, batch, child_timeout_s, current)
+            done = _load_partial().get(str(size), {}).get("value") is not None
+            if rc not in (0, 3) and not done:
+                # one retry with a fresh process (fresh pool grant); rc 3 is
+                # the backend-init watchdog — the tunnel is down, retrying
+                # would burn another 600 s against a wedged grant
+                print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
+                time.sleep(20.0)
+                rc = _run_child(size, batch, child_timeout_s, current)
+            if rc == 3:
+                break  # backend unreachable; later phases would also hang
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+    result = _merged_result(headline_size, sizes_batches)
     print(json.dumps(result), flush=True)
-    return 0 if head.get("value") is not None else 1
+    return 0 if result.get("value") is not None else 1
 
 
 def main(argv=None) -> None:
@@ -489,6 +522,16 @@ def main(argv=None) -> None:
     cli = ap.parse_args(argv)
 
     if cli.inner:
+        if not os.environ.get("CCST_BENCH_ORCH"):
+            # a DIRECT --inner one-off gets the same exclusivity + stale-
+            # partial rules as the orchestrator: the lock enforces the
+            # one-axon-process rule, and rotating the partial keeps an old
+            # run's quality numbers from merging into this run's record
+            if _acquire_lock() is None:
+                print(json.dumps(_lock_held_result(cli.size or 512)), flush=True)
+                sys.exit(2)
+            if os.path.exists(PARTIAL_PATH):
+                os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
         sys.exit(run_inner(cli.size or 512, cli.batch))
     if cli.size is not None:  # single-size orchestration (still crash-isolated)
         sys.exit(_orchestrate([(cli.size, cli.batch)]))

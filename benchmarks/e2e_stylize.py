@@ -201,8 +201,6 @@ def main() -> None:
 
     # measure the tunnel's device<->host bandwidth so the e2e number can be
     # attributed (on this harness it IS the bottleneck)
-    import jax
-
     probe = np.zeros((38, 1000, 1000), np.uint8)  # 38 MB, one output batch
     d = jax.device_put(probe)
     d.block_until_ready()

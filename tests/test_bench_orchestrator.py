@@ -62,8 +62,10 @@ def test_orchestrated_single_size_cpu(tmp_path):
     # incremental artifact exists and already carries the same number
     partial = json.loads((tmp_path / "partial.json").read_text())
     assert partial["32"]["value"] == out["value"]
-    # 512px-only roofline constants must NOT leak into other sizes
+    # 512px-only roofline constants must NOT leak into other sizes, and a
+    # SUCCESSFUL non-512 run must not carry a bogus "did not complete" error
     assert "roofline_int8_100pct_mfu_img_per_sec" not in out
+    assert "error" not in out
 
 
 def test_lockfile_excludes_second_process(tmp_path):
@@ -105,7 +107,7 @@ def test_child_crash_leaves_parseable_artifact(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_child(size, batch, timeout_s):
+    def fake_child(size, batch, timeout_s, current):
         calls.append(size)
         # a completed prior phase survives; the crashing phase only got as
         # far as calibration
@@ -155,7 +157,7 @@ def test_backend_watchdog_rc3_skips_remaining_phases(tmp_path, monkeypatch):
     bench.PARTIAL_PATH = str(tmp_path / "partial.json")
 
     calls = []
-    bench._run_child = lambda size, batch, t: (calls.append(size), 3)[1]
+    bench._run_child = lambda size, batch, t, cur: (calls.append(size), 3)[1]
 
     import io
     from contextlib import redirect_stdout
@@ -167,3 +169,49 @@ def test_backend_watchdog_rc3_skips_remaining_phases(tmp_path, monkeypatch):
     assert calls == [512]  # no retry against a wedged grant; 256 skipped
     out = _last_json_line(buf.getvalue())
     assert out["value"] is None
+
+
+def test_direct_inner_respects_lockfile(tmp_path):
+    """A direct --inner one-off (no orchestrator) must also honor the
+    one-axon-process lock: fail fast with the diagnostic JSON, exit 2."""
+    import fcntl
+
+    fd = os.open(str(tmp_path / "lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        proc = subprocess.run(
+            [sys.executable, BENCH, "--inner", "--size", "32", "--batch", "2"],
+            env=_env(tmp_path), capture_output=True, text=True, timeout=120,
+            cwd=REPO,
+        )
+        assert proc.returncode == 2
+        out = _last_json_line(proc.stdout)
+        assert out["value"] is None and "exclusive" in out["error"]
+    finally:
+        os.close(fd)
+
+
+@pytest.mark.slow
+def test_sigterm_mid_run_still_emits_json(tmp_path):
+    """Driver timeout scenario: SIGTERM the orchestrator while a child is
+    measuring. The last stdout line must STILL be valid JSON (carrying any
+    completed phases + a signal note) — the round-3 failure mode was a
+    non-JSON artifact in exactly this case."""
+    import signal
+    import time as _time
+
+    proc = subprocess.Popen(
+        [sys.executable, BENCH, "--size", "32", "--batch", "2"],
+        env=_env(tmp_path), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, cwd=REPO,
+    )
+    # wait until the child process has started measuring (partial exists)
+    deadline = _time.time() + 300
+    while _time.time() < deadline and not (tmp_path / "partial.json").exists():
+        _time.sleep(0.5)
+    assert (tmp_path / "partial.json").exists(), "child never started"
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 128 + signal.SIGTERM
+    out = _last_json_line(stdout)
+    assert "terminated by signal 15" in out["error"]
