@@ -200,6 +200,18 @@ def run_inner(size: int, batch: int) -> int:
     if os.environ.get("CCST_BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["CCST_BENCH_PLATFORM"])
 
+    # Persistent XLA compile cache (same contract as the CLI's
+    # CCST_COMPILE_CACHE, default ON here): each measurement child re-traces
+    # identical programs, and a remote TPU compile over the tunnel costs
+    # minutes — most of the child-timeout exposure. Compiles aren't part of
+    # the measured rate (device_rate warms before timing), so reloading the
+    # serialized executable only removes dead wall-clock.
+    cache = os.environ.get("CCST_COMPILE_CACHE", "1")
+    if cache.lower() not in ("0", "off", "none"):
+        path = "~/.cache/ccst_tpu/xla" if cache == "1" else cache
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
