@@ -465,10 +465,68 @@ def _merged_result(headline_size: int, sizes_batches) -> dict:
     return result
 
 
+def _kill_child_from_handler(proc) -> None:
+    """Signal-handler-safe child teardown: TERM -> 10 s WNOHANG poll ->
+    KILL, via raw os.kill/os.waitpid only. The handler runs on the main
+    thread ON TOP of whatever frame the signal interrupted — possibly
+    ``proc.wait`` itself holding Popen's non-reentrant _waitpid_lock — so
+    calling Popen.terminate()/wait() here could deadlock on our own lock."""
+    try:
+        os.kill(proc.pid, 15)  # SIGTERM
+    except OSError:
+        return
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        try:
+            pid, _ = os.waitpid(proc.pid, os.WNOHANG)
+        except ChildProcessError:
+            return  # already reaped (e.g. by the interrupted proc.wait)
+        if pid:
+            return
+        time.sleep(0.2)
+    try:
+        os.kill(proc.pid, 9)  # SIGKILL
+        os.waitpid(proc.pid, 0)
+    except (OSError, ChildProcessError):
+        pass
+
+
 def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
     import signal
 
     headline_size = sizes_batches[0][0]
+    # state shared with the SIGTERM handler. The handler is installed BEFORE
+    # the lock/rotation so there is no window where a driver timeout kills
+    # the process JSON-less; ``rotated`` keeps a pre-rotation TERM from
+    # presenting a PREVIOUS run's partial as this run's result.
+    current: dict = {"proc": None, "rotated": False}
+
+    def _on_term(signum, frame):
+        # driver timeout / operator TERM: take the measurement child down
+        # (an orphaned axon client would hold the exclusive TPU pool grant
+        # forever) and STILL emit the merged JSON — phases that completed
+        # before the signal must not be lost (the round-3 failure mode).
+        # Constraint: this runs between bytecodes of an arbitrary main-thread
+        # frame, so only reentrancy-safe calls — raw os.write to stdout (the
+        # interrupted frame may be mid-print holding the BufferedWriter
+        # lock), os.kill/os.waitpid for the child (see
+        # _kill_child_from_handler), and os._exit.
+        p = current["proc"]
+        if p is not None:
+            _kill_child_from_handler(p)
+        if current["rotated"]:
+            res = _merged_result(headline_size, sizes_batches)
+        else:
+            res = _lock_held_result(headline_size)
+            res["error"] = "terminated before any measurement started"
+        res["error"] = (
+            res.get("error", "").rstrip()
+            + f" [orchestrator terminated by signal {signum}]"
+        ).strip()
+        os.write(1, (json.dumps(res) + "\n").encode())
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_term)
     lock = _acquire_lock()
     if lock is None:
         print(json.dumps(_lock_held_result(headline_size)), flush=True)
@@ -477,44 +535,25 @@ def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
     # stale partials from a previous run must not masquerade as this run's
     if os.path.exists(PARTIAL_PATH):
         os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
+    current["rotated"] = True
 
-    current: dict = {"proc": None}
-
-    def _on_term(signum, frame):
-        # driver timeout / operator TERM: take the measurement child down
-        # (an orphaned axon client would hold the exclusive TPU pool grant
-        # forever) and STILL emit the merged JSON — phases that completed
-        # before the signal must not be lost (the round-3 failure mode).
-        p = current["proc"]
-        if p is not None:
-            _terminate(p)
-        res = _merged_result(headline_size, sizes_batches)
-        res["error"] = (
-            res.get("error", "").rstrip()
-            + f" [orchestrator terminated by signal {signum}]"
-        ).strip()
-        print(json.dumps(res), flush=True)
-        os._exit(128 + signum)
-
-    prev = signal.signal(signal.SIGTERM, _on_term)
-    try:
-        for size, batch in sizes_batches:
+    for size, batch in sizes_batches:
+        rc = _run_child(size, batch, child_timeout_s, current)
+        done = _load_partial().get(str(size), {}).get("value") is not None
+        if rc not in (0, 3) and not done:
+            # one retry with a fresh process (fresh pool grant); rc 3 is
+            # the backend-init watchdog — the tunnel is down, retrying
+            # would burn another 600 s against a wedged grant
+            print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
+            time.sleep(20.0)
             rc = _run_child(size, batch, child_timeout_s, current)
-            done = _load_partial().get(str(size), {}).get("value") is not None
-            if rc not in (0, 3) and not done:
-                # one retry with a fresh process (fresh pool grant); rc 3 is
-                # the backend-init watchdog — the tunnel is down, retrying
-                # would burn another 600 s against a wedged grant
-                print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
-                time.sleep(20.0)
-                rc = _run_child(size, batch, child_timeout_s, current)
-            if rc == 3:
-                break  # backend unreachable; later phases would also hang
-    finally:
-        signal.signal(signal.SIGTERM, prev)
+        if rc == 3:
+            break  # backend unreachable; later phases would also hang
 
     result = _merged_result(headline_size, sizes_batches)
     print(json.dumps(result), flush=True)
+    # the handler stays installed through the final print (restoring it any
+    # earlier reopens a JSON-less TERM window); the process exits right after
     return 0 if result.get("value") is not None else 1
 
 

@@ -26,6 +26,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))  # sibling `synth`
 
 N_CONTENT = 576     # 12 batches of 48: enough to amortize the
 # per-invocation trace/lower cost so the warm number reflects steady state
@@ -36,29 +37,14 @@ SIZE = 512
 def main() -> None:
     import jax.numpy as jnp
 
-    import ccst_tpu.config as cc
     from ccst_tpu.cli import main as cli_main
-    from ccst_tpu.data.lists import write_list
     from ccst_tpu.data.loader import save_image_u8
+    from synth import build_pacs_tree
 
     root = tempfile.mkdtemp(prefix="ccst_e2e_")
-    rng = np.random.default_rng(0)
-    domains = cc.DATASETS["pacs"].domains
     t_gen = time.perf_counter()
-    for d in domains:
-        n = N_CONTENT if d == "art_painting" else N_PER_STYLE
-        names, labels = [], []
-        for i in range(n):
-            rel = f"PACS/kfold/{d}/cls/img{i:03d}.jpg"
-            img = np.clip(
-                rng.normal(0.5, 0.2, (SIZE, SIZE, 3)), 0, 1
-            ).astype(np.float32)
-            save_image_u8(img, os.path.join(root, rel))
-            names.append(rel)
-            labels.append(0)
-        write_list(
-            os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"), names, labels
-        )
+    # shared with host_pipeline_ab.py so the two artifacts stay comparable
+    domains = build_pacs_tree(root, N_CONTENT, N_PER_STYLE, SIZE)
     t_gen = time.perf_counter() - t_gen
 
     # persistent compile cache: a fresh fill per run so cold genuinely

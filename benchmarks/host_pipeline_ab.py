@@ -40,6 +40,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))  # sibling `synth`
 
 N_CONTENT = 576
 N_PER_STYLE = 48
@@ -90,29 +91,15 @@ class EmulatedDeviceEngine:
         return _Deferred(self.payload[:, :b], self._ready)
 
 
-def build_tree(root: str) -> list:
-    import ccst_tpu.config as cc
-    from ccst_tpu.data.lists import write_list
-    from ccst_tpu.data.loader import save_image_u8
+def build_tree(root: str) -> tuple:
+    # shared with e2e_stylize.py so the two artifacts stay comparable;
+    # content_only: this harness fabricates the style banks directly and
+    # never reads style-domain images
+    from synth import build_pacs_tree
 
-    rng = np.random.default_rng(0)
-    domains = cc.DATASETS["pacs"].domains
-    for d in domains:
-        n = N_CONTENT if d == "art_painting" else N_PER_STYLE
-        names, labels = [], []
-        for i in range(n):
-            rel = f"PACS/kfold/{d}/cls/img{i:03d}.jpg"
-            img = np.clip(rng.normal(0.5, 0.2, (SIZE, SIZE, 3)), 0, 1).astype(
-                np.float32
-            )
-            save_image_u8(img, os.path.join(root, rel))
-            names.append(rel)
-            labels.append(0)
-        write_list(
-            os.path.join(root, "txt_lists", "pacs", f"{d}_train.txt"),
-            names, labels,
-        )
-    return domains
+    return build_pacs_tree(
+        root, N_CONTENT, N_PER_STYLE, SIZE, content_only=True
+    )
 
 
 def main() -> None:

@@ -113,7 +113,9 @@ def build_tree(
                 # the 64px-thumbnail blank filter would (correctly) discard
                 # it — real tissue has structure that survives resize
                 base = 0.55 if cls == 0 else 0.45
-                coarse = rng.normal(0.0, 0.12, (max(px // 16, 1),) * 2 + (3,))
+                # ceil division: for px not a multiple of 16 the repeated
+                # grid must still cover the full patch before the crop
+                coarse = rng.normal(0.0, 0.12, (-(-px // 16),) * 2 + (3,))
                 coarse = np.repeat(np.repeat(coarse, 16, 0), 16, 1)[:px, :px]
                 img = np.clip(
                     base + coarse + rng.normal(0, 0.05, (px, px, 3)), 0, 1

@@ -274,6 +274,12 @@ def test_compile_cache_env_wiring(tmp_path, monkeypatch):
 
     cache_dir = str(tmp_path / "xla_cache")
     monkeypatch.setenv("CCST_COMPILE_CACHE", cache_dir)
-    with pytest.raises(SystemExit):
-        run_cli("--help")  # the env wiring runs before argparse
-    assert jax.config.jax_compilation_cache_dir == cache_dir
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        with pytest.raises(SystemExit):
+            run_cli("--help")  # the env wiring runs before argparse
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+    finally:
+        # global jax config: later tests must not silently write persistent
+        # cache entries into this test's tmp_path
+        jax.config.update("jax_compilation_cache_dir", prev)
