@@ -10,7 +10,11 @@ style_transfer/AdaIN/pacs_art_painting_overall_stylize_time.txt:1-4). The
 headline is measured at 512px (the resolution the reference README actually
 uses; 4x the per-image work — vs_baseline therefore understates the true
 speedup), and the SAME run also measures the 256px apples-to-apples
-workload (reference's exact size/batch) and reports it under ``at_256px``.
+workload (reference's exact size/batch, reported under ``at_256px``) and
+BOTH sizes of the single-mode path (per-batch on-device style-image stat
+computation + one-style transfer, the reference's other committed timing
+artifact — pacs_art_painting_single_stylize_time.txt, also 75.9 img/s —
+reported under ``single_mode``).
 
 Measured step: the production Overall-transfer device computation with the
 **int8-static executor** (models/vgg_fast.py): one encode of the content
@@ -91,11 +95,17 @@ def device_rate(step, state, batch_imgs: int, n1: int = 2, n2: int = 8) -> float
     return float(np.median(rates))
 
 
-def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16):
+def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16,
+                  style_image=None):
     """Drive the actual torch AdaIN formula (reference
     style_transfer/AdaIN/function.py:26-33 semantics, via the tests'
     torch twin) on CPU with the SAME weights and inputs, and return
-    (MAE(int8, torch), MAE(bf16, torch), MAE(int8, torch)/output-span)."""
+    (MAE(int8, torch), MAE(bf16, torch), MAE(int8, torch)/output-span).
+
+    With ``style_image`` (single mode), the style stats are computed by the
+    torch encoder from that image with biased variance — the on-the-fly
+    per-image stat path of CCST_SingleStyleTransfer.py:195-208 — and
+    s_mean/s_std are ignored."""
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -121,8 +131,15 @@ def _mae_vs_torch(enc, dec, images, s_mean, s_std, got_int8, got_bf16):
         mean = feat.mean(dim=(2, 3), keepdim=True)
         # unbiased variance + eps-before-sqrt: function.py:9-10 semantics
         std = (feat.var(dim=(2, 3), unbiased=True, keepdim=True) + 1e-5).sqrt()
-        sm = torch.from_numpy(s_mean.astype(np.float32)).view(1, -1, 1, 1)
-        ss = torch.from_numpy(s_std.astype(np.float32)).view(1, -1, 1, 1)
+        if style_image is not None:
+            sfeat = tenc(torch.from_numpy(style_image.transpose(0, 3, 1, 2).copy()))
+            sm = sfeat.mean(dim=(2, 3), keepdim=True)
+            # population variance: the streaming calc_sum finalization
+            # (mean_std_computation_effcientMem.py:135-137 semantics, ddof=0)
+            ss = (sfeat.var(dim=(2, 3), unbiased=False, keepdim=True) + 1e-5).sqrt()
+        else:
+            sm = torch.from_numpy(s_mean.astype(np.float32)).view(1, -1, 1, 1)
+            ss = torch.from_numpy(s_std.astype(np.float32)).view(1, -1, 1, 1)
         t = (feat - mean) / std * ss + sm
         ref = tdec(t).numpy().transpose(0, 2, 3, 1)
     span = float(ref.max() - ref.min()) or 1.0
@@ -191,7 +208,12 @@ def _flush_partial(partial: dict) -> None:
 # pool grant with a clean process)
 # ---------------------------------------------------------------------------
 
-def run_inner(size: int, batch: int) -> int:
+def _phase_key(size: int, mode: str) -> str:
+    """BENCH_PARTIAL.json key for a phase ("512" / "512-single")."""
+    return str(size) if mode == "overall" else f"{size}-{mode}"
+
+
+def run_inner(size: int, batch: int, mode: str = "overall") -> int:
     import jax
 
     # CCST_BENCH_PLATFORM=cpu lets tests drive the ENTIRE orchestrator →
@@ -205,24 +227,26 @@ def run_inner(size: int, batch: int) -> int:
     # identical programs, and a remote TPU compile over the tunnel costs
     # minutes — most of the child-timeout exposure. Compiles aren't part of
     # the measured rate (device_rate warms before timing), so reloading the
-    # serialized executable only removes dead wall-clock.
-    cache = os.environ.get("CCST_COMPILE_CACHE", "1")
-    if cache.lower() not in ("0", "off", "none"):
-        path = "~/.cache/ccst_tpu/xla" if cache == "1" else cache
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # serialized executable only removes dead wall-clock. The cache is keyed
+    # by (platform, host CPU features) — utils/compile_cache.py — so a CPU
+    # child can never reload an executable built on a differently-featured
+    # host (the source of round 4's SIGILL-warning-polluted artifact tail).
+    from ccst_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.environ.get("CCST_COMPILE_CACHE", "1"))
 
     import jax.numpy as jnp
     import numpy as np
 
     from ccst_tpu.models import vgg, vgg_fast
-    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend
+    from ccst_tpu.ops.adain import adain_from_stats, alpha_blend, calc_mean_std
 
-    metric = f"stylize_img_per_sec_{size}px"
+    single = mode == "single"
+    metric = f"stylize_img_per_sec_{size}px" + ("_single" if single else "")
     _backend_watchdog(metric)
 
     partial = _load_partial()
-    rec = partial.setdefault(str(size), {})
+    rec = partial.setdefault(_phase_key(size, mode), {})
     rec["metric"] = metric
     rec["batch"] = batch
 
@@ -234,7 +258,12 @@ def run_inner(size: int, batch: int) -> int:
     # comparator batch matches the int8 batch (advisor r3: a b32 comparator
     # at 256px understates bf16 and overstates the int8-vs-bf16 gap).
     bf16_batch = 32 if size >= 512 else batch
-    n_styles = 3  # PACS/OfficeHome: each content domain gets 3 styles
+    # Overall mode: 3 style banks per content batch (PACS/OfficeHome — each
+    # content domain gets every other domain's style). Single mode: ONE
+    # freshly-sampled style image per batch, its stats computed on device
+    # (CCST_SingleStyleTransfer.py:195-208) — its committed timing artifact
+    # is likewise a one-style pass.
+    n_styles = 1 if single else 3
     enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH, dtype=jnp.bfloat16)
     dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH, dtype=jnp.bfloat16)
 
@@ -243,9 +272,20 @@ def run_inner(size: int, batch: int) -> int:
     s_means = jnp.asarray(rng.standard_normal((n_styles, 512)).astype(np.float32) * 0.1)
     s_stds = jnp.asarray(rng.random((n_styles, 512)).astype(np.float32) * 0.5 + 0.5)
 
-    scales = vgg_fast.calibrate_scales(
-        enc, dec, images[:4], [(s_means[i], s_stds[i]) for i in range(n_styles)]
-    )
+    def style_stats_of(image):
+        """Production single-mode stat path (StylizeEngine.style_stats_of):
+        bf16 reference encoder + population (ddof=0) stats, f32 vectors."""
+        sfeat = vgg.apply_encoder(enc, image.astype(jnp.bfloat16))
+        sm, ss = calc_mean_std(sfeat, ddof=0)
+        return sm[0, 0, 0, :], ss[0, 0, 0, :]
+
+    if single:
+        # calibrate the int8 executors against the per-image stats the
+        # chained step will actually see (the first benchmark image's)
+        cal_stats = [style_stats_of(images[:1])]
+    else:
+        cal_stats = [(s_means[i], s_stds[i]) for i in range(n_styles)]
+    scales = vgg_fast.calibrate_scales(enc, dec, images[:4], cal_stats)
     eq = vgg_fast.prepare_encoder_q8s(enc, scales)
     dq = vgg_fast.prepare_decoder_q8s(dec, scales)
     rec["calibrated"] = True
@@ -265,11 +305,28 @@ def run_inner(size: int, batch: int) -> int:
 
         return step
 
-    int8_step = multi(
+    def single_style(encode, decode):
+        """The single-mode hot path: per-batch style-image stat computation
+        on device + one transfer. The batch's own first image stands in for
+        the freshly sampled style image (in production the host decodes one
+        per batch; the DEVICE work measured here is identical: one 1-image
+        bf16 encoder pass + stats, then encode/adain/decode of the batch)."""
+
+        def step(x):
+            sm, ss = style_stats_of(x[:1])
+            feat = encode(x)
+            t = adain_from_stats(feat, sm, ss)
+            t = alpha_blend(t, feat, jnp.asarray(1.0, t.dtype))
+            return decode(t).astype(x.dtype)
+
+        return step
+
+    build = single_style if single else multi
+    int8_step = build(
         lambda x: vgg_fast.apply_encoder_q8s(eq, x),
         lambda t: vgg_fast.apply_decoder_q8s(dq, t),
     )
-    bf16_step = multi(
+    bf16_step = build(
         lambda x: vgg.apply_encoder(enc, x.astype(jnp.bfloat16)),
         lambda t: vgg.apply_decoder(dec, t),
     )
@@ -284,8 +341,11 @@ def run_inner(size: int, batch: int) -> int:
     # --- everything after the headline is reported best-effort: a worker
     # crash in a comparator must not discard the already-measured headline.
     if os.environ.get("CCST_BENCH_FAST"):
-        # the bf16 comparator is software-emulated (and glacial) on CPU
-        rec["bf16_img_per_sec"] = "skipped (fast mode)"
+        # the bf16 comparator is software-emulated (and glacial) on CPU.
+        # Keep the field numeric-or-null (advisor r4: a string here breaks
+        # parsers that treat the merged driver JSON field as a float).
+        rec["bf16_img_per_sec"] = None
+        rec["bf16_skipped"] = "fast mode"
     else:
         try:
             rec["bf16_img_per_sec"] = round(
@@ -300,11 +360,14 @@ def run_inner(size: int, batch: int) -> int:
     got = want = None
     try:
         # in-run quality: int8 output vs the torch-parity bf16 executor
+        # (single mode: under the per-image stats of the first image — the
+        # same stats the chained step computes on device)
+        qm, qs = style_stats_of(images[:1]) if single else (s_means[0], s_stds[0])
         featb = vgg.apply_encoder(enc, images[:4].astype(jnp.bfloat16))
-        tb = adain_from_stats(featb, s_means[0], s_stds[0])
+        tb = adain_from_stats(featb, qm, qs)
         want = np.asarray(vgg.apply_decoder(dec, tb), np.float32)
         featq = vgg_fast.apply_encoder_q8s(eq, images[:4])
-        tq = adain_from_stats(featq, s_means[0], s_stds[0])
+        tq = adain_from_stats(featq, qm, qs)
         got = np.asarray(vgg_fast.apply_decoder_q8s(dq, tq), np.float32)
         span = float(want.max() - want.min()) or 1.0
         psnr = 10 * np.log10(span**2 / float(np.mean((got - want) ** 2)))
@@ -327,6 +390,9 @@ def run_inner(size: int, batch: int) -> int:
             np.asarray(s_means[0]), np.asarray(s_stds[0]),
             got_int8=np.asarray(got[:2], np.float32),
             got_bf16=np.asarray(want[:2], np.float32),
+            # single mode: torch recomputes the per-image style stats from
+            # the same style image the device step used
+            style_image=np.asarray(images[:1], np.float32) if single else None,
         )
         rec["mae_int8_vs_torch"] = round(mae_q, 6)
         rec["mae_bf16_vs_torch"] = round(mae_b, 6)
@@ -337,7 +403,7 @@ def run_inner(size: int, batch: int) -> int:
     except Exception as e:  # torch unavailable on some hosts: report why
         rec["mae_int8_vs_torch"] = f"unavailable: {e}"[:300]
     _flush_partial(partial)
-    print(f"# phase {size}px complete: {json.dumps(rec)}", flush=True)
+    print(f"# phase {size}px {mode} complete: {json.dumps(rec)}", flush=True)
     return 0
 
 
@@ -378,20 +444,34 @@ def _terminate(proc) -> None:
         proc.wait()
 
 
-def _run_child(size: int, batch: int, timeout_s: float, current: dict) -> int:
+CHILD_LOG = os.environ.get(
+    "CCST_BENCH_CHILD_LOG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CHILD.log"),
+)
+
+
+def _run_child(phase, timeout_s: float, current: dict) -> int:
     import subprocess
 
+    size, batch, mode = phase
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--inner", "--size", str(size), "--batch", str(batch),
+        "--inner", "--size", str(size), "--batch", str(batch), "--mode", mode,
     ]
     # mark orchestrated children: they must NOT take the (already-held)
     # lockfile and must NOT rotate the partial artifact
     env = {**os.environ, "CCST_BENCH_ORCH": "1"}
-    # current["proc"] feeds the orchestrator's SIGTERM handler (installed
-    # BEFORE any child spawns), so a driver timeout can never orphan a
-    # running axon client
-    current["proc"] = proc = subprocess.Popen(cmd, env=env)
+    # Child stderr goes to a log file, NOT the driver's capture channel:
+    # XLA/absl warnings (e.g. the compile-cache machine-feature warning that
+    # polluted BENCH_r04.json's tail) must never interleave with the final
+    # JSON. Child stdout (the "# phase ..." lines) still flows through.
+    with open(CHILD_LOG, "ab") as log:
+        log.write(f"--- child {size}px {mode} batch={batch} ---\n".encode())
+        log.flush()
+        # current["proc"] feeds the orchestrator's SIGTERM handler (installed
+        # BEFORE any child spawns), so a driver timeout can never orphan a
+        # running axon client
+        current["proc"] = proc = subprocess.Popen(cmd, env=env, stderr=log)
     try:
         return proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
@@ -401,9 +481,10 @@ def _run_child(size: int, batch: int, timeout_s: float, current: dict) -> int:
         current["proc"] = None
 
 
-def _lock_held_result(headline_size: int) -> dict:
+def _lock_held_result(headline_size: int, mode: str = "overall") -> dict:
     return {
-        "metric": f"stylize_img_per_sec_{headline_size}px",
+        "metric": f"stylize_img_per_sec_{headline_size}px"
+        + ("_single" if mode == "single" else ""),
         "value": None,
         "unit": "img/s",
         "error": f"another axon-backend process holds {LOCKFILE}; "
@@ -412,21 +493,26 @@ def _lock_held_result(headline_size: int) -> dict:
     }
 
 
-def _merged_result(headline_size: int, sizes_batches) -> dict:
+def _merged_result(headline_size: int, phases) -> dict:
     """Build the final driver JSON from whatever phases BENCH_PARTIAL.json
     holds. Total function of the partial state — also used by the SIGTERM
-    path so completed measurements survive an orchestrator kill."""
+    path so completed measurements survive an orchestrator kill. ``phases``
+    are (size, batch, mode) tuples; the first is the headline, other
+    overall phases land under ``at_{size}px`` and single-mode phases under
+    ``single_mode.{size}px`` (VERDICT r4 #3)."""
     partial = _load_partial()
-    head = partial.get(str(headline_size), {})
+    headline_mode = phases[0][2]
+    head = partial.get(_phase_key(headline_size, headline_mode), {})
     result = {
-        "metric": f"stylize_img_per_sec_{headline_size}px",
+        "metric": f"stylize_img_per_sec_{headline_size}px"
+        + ("_single" if headline_mode == "single" else ""),
         "value": head.get("value"),
         "unit": "img/s",
         "vs_baseline": head.get("vs_baseline"),
     }
     for k in (
-        "engine", "bf16_img_per_sec", "quality_psnr_db", "mae_int8_vs_torch",
-        "mae_bf16_vs_torch", "mae_int8_vs_torch_rel_span",
+        "engine", "bf16_img_per_sec", "bf16_skipped", "quality_psnr_db",
+        "mae_int8_vs_torch", "mae_bf16_vs_torch", "mae_int8_vs_torch_rel_span",
     ):
         if k in head:
             result[k] = head[k]
@@ -436,7 +522,7 @@ def _merged_result(headline_size: int, sizes_batches) -> dict:
             "BENCH_PARTIAL.json); last good on-chip runs: "
             "1108.3-1110.7 img/s @512px (docs/STATUS.md)"
         )
-    elif headline_size == 512:
+    elif headline_size == 512 and headline_mode == "overall":
         # Roofline vs the >=2000 img/s north star — settled by the round-3
         # per-layer measurement campaign AT 512px (docs/WINOGRAD.md): int8
         # Winograd F(2,3) was built and measured DEAD on v5e (transforms
@@ -449,19 +535,24 @@ def _merged_result(headline_size: int, sizes_batches) -> dict:
             roofline_int8_100pct_mfu_img_per_sec=1870,
             measured_per_layer_ceiling_img_per_sec=1150,
         )
-    for size, _ in sizes_batches[1:]:
-        side = partial.get(str(size), {})
-        if side:
-            # side phases, e.g. at_256px: the reference's EXACT committed
-            # workload (256px b128; vs_baseline = equal per-image work)
-            result[f"at_{size}px"] = {
-                k: side[k]
-                for k in (
-                    "value", "vs_baseline", "bf16_img_per_sec", "bf16_batch",
-                    "quality_psnr_db", "mae_int8_vs_torch",
-                )
-                if k in side
-            }
+    side_keys = (
+        "value", "vs_baseline", "bf16_img_per_sec", "bf16_batch",
+        "quality_psnr_db", "mae_int8_vs_torch", "mae_int8_vs_torch_rel_span",
+    )
+    for size, _, mode in phases[1:]:
+        side = partial.get(_phase_key(size, mode), {})
+        if not side:
+            continue
+        block = {k: side[k] for k in side_keys if k in side}
+        if mode == "overall":
+            # e.g. at_256px: the reference's EXACT committed workload
+            # (256px b128; vs_baseline = equal per-image work)
+            result[f"at_{size}px"] = block
+        else:
+            # single mode: per-batch on-device style-image stats + transfer
+            # (the reference's other committed timing artifact,
+            # pacs_art_painting_single_stylize_time.txt — also 75.9 img/s)
+            result.setdefault("single_mode", {})[f"{size}px"] = block
     return result
 
 
@@ -491,10 +582,10 @@ def _kill_child_from_handler(proc) -> None:
         pass
 
 
-def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
+def _orchestrate(phases, child_timeout_s: float = 1500.0) -> int:
     import signal
 
-    headline_size = sizes_batches[0][0]
+    headline_size = phases[0][0]
     # state shared with the SIGTERM handler. The handler is installed BEFORE
     # the lock/rotation so there is no window where a driver timeout kills
     # the process JSON-less; ``rotated`` keeps a pre-rotation TERM from
@@ -515,7 +606,7 @@ def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
         if p is not None:
             _kill_child_from_handler(p)
         if current["rotated"]:
-            res = _merged_result(headline_size, sizes_batches)
+            res = _merged_result(headline_size, phases)
         else:
             res = _lock_held_result(headline_size)
             res["error"] = "terminated before any measurement started"
@@ -535,22 +626,29 @@ def _orchestrate(sizes_batches, child_timeout_s: float = 1500.0) -> int:
     # stale partials from a previous run must not masquerade as this run's
     if os.path.exists(PARTIAL_PATH):
         os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
+    if os.path.exists(CHILD_LOG):
+        os.replace(CHILD_LOG, CHILD_LOG + ".prev")
     current["rotated"] = True
 
-    for size, batch in sizes_batches:
-        rc = _run_child(size, batch, child_timeout_s, current)
-        done = _load_partial().get(str(size), {}).get("value") is not None
+    for phase in phases:
+        size, _, mode = phase
+        rc = _run_child(phase, child_timeout_s, current)
+        done = _load_partial().get(_phase_key(size, mode), {}).get("value") is not None
         if rc not in (0, 3) and not done:
             # one retry with a fresh process (fresh pool grant); rc 3 is
             # the backend-init watchdog — the tunnel is down, retrying
             # would burn another 600 s against a wedged grant
-            print(f"# child for {size}px exited rc={rc}; retrying once", flush=True)
+            print(
+                f"# child for {size}px {mode} exited rc={rc} "
+                f"(stderr in {os.path.basename(CHILD_LOG)}); retrying once",
+                flush=True,
+            )
             time.sleep(20.0)
-            rc = _run_child(size, batch, child_timeout_s, current)
+            rc = _run_child(phase, child_timeout_s, current)
         if rc == 3:
             break  # backend unreachable; later phases would also hang
 
-    result = _merged_result(headline_size, sizes_batches)
+    result = _merged_result(headline_size, phases)
     print(json.dumps(result), flush=True)
     # the handler stays installed through the final print (restoring it any
     # earlier reopens a JSON-less TERM window); the process exits right after
@@ -561,15 +659,17 @@ def main(argv=None) -> None:
     import argparse
 
     # Optional overrides for one-off runs (e.g. --inner --size 256 measures
-    # only the reference's committed workload). The bare invocation — what
-    # the driver runs — orchestrates the 512px headline AND the 256px
-    # apples-to-apples phase, each in a crash-isolated child process.
-    # ``argv`` lets the `ccst-tpu bench` subcommand call in without its own
-    # argv leaking into this parser.
+    # only the reference's committed workload; --mode single measures the
+    # per-batch-style-stats path). The bare invocation — what the driver
+    # runs — orchestrates the 512px headline, the 256px apples-to-apples
+    # phase, AND both single-mode phases (VERDICT r4 #3), each in a
+    # crash-isolated child process. ``argv`` lets the `ccst-tpu bench`
+    # subcommand call in without its own argv leaking into this parser.
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true", help="run one measurement phase in-process")
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--mode", choices=("overall", "single"), default="overall")
     cli = ap.parse_args(argv)
 
     if cli.inner:
@@ -583,10 +683,13 @@ def main(argv=None) -> None:
                 sys.exit(2)
             if os.path.exists(PARTIAL_PATH):
                 os.replace(PARTIAL_PATH, PARTIAL_PATH + ".prev")
-        sys.exit(run_inner(cli.size or 512, cli.batch))
+        sys.exit(run_inner(cli.size or 512, cli.batch, cli.mode))
     if cli.size is not None:  # single-size orchestration (still crash-isolated)
-        sys.exit(_orchestrate([(cli.size, cli.batch)]))
-    sys.exit(_orchestrate([(512, 128), (256, 128)]))
+        sys.exit(_orchestrate([(cli.size, cli.batch, cli.mode)]))
+    sys.exit(_orchestrate([
+        (512, 128, "overall"), (256, 128, "overall"),
+        (512, 128, "single"), (256, 128, "single"),
+    ]))
 
 
 if __name__ == "__main__":

@@ -547,22 +547,18 @@ def main(argv: Optional[list] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["CCST_PLATFORM"])
-    cache = os.environ.get("CCST_COMPILE_CACHE", "")
-    if cache and cache.lower() not in ("0", "off", "none"):
-        # Persistent XLA compilation cache. Every CLI process re-traces its
-        # jit graphs from scratch, and a TPU compile costs 20-40 s (minutes
-        # over a remote-compile tunnel) — so back-to-back invocations of the
-        # same pipeline (stylize per target, resumed fed-train) pay it each
-        # time. With the cache, repeat compilations of an identical program
-        # reload the serialized executable from disk instead.
-        # CCST_COMPILE_CACHE=1 -> ~/.cache/ccst_tpu/xla, else the given dir.
-        import jax
+    # Persistent XLA compilation cache. Every CLI process re-traces its
+    # jit graphs from scratch, and a TPU compile costs 20-40 s (minutes
+    # over a remote-compile tunnel) — so back-to-back invocations of the
+    # same pipeline (stylize per target, resumed fed-train) pay it each
+    # time. With the cache, repeat compilations of an identical program
+    # reload the serialized executable from disk instead.
+    # CCST_COMPILE_CACHE=1 -> ~/.cache/ccst_tpu/xla, else the given root;
+    # the cache is namespaced per (platform, host CPU features) so CPU
+    # executables never cross hosts (utils/compile_cache.py).
+    from ccst_tpu.utils.compile_cache import enable_compile_cache
 
-        path = "~/.cache/ccst_tpu/xla" if cache == "1" else cache
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser(path)
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache(os.environ.get("CCST_COMPILE_CACHE", ""))
     parser = argparse.ArgumentParser(prog="ccst-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -14,6 +14,7 @@ the host after device work.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -129,8 +130,21 @@ class ImageBatchLoader:
             )
             if self.out_dtype == "uint8":
                 # exact: the native resize is PIL-parity (tests/test_native_io),
-                # so every value is an integer/255 and the round-trip is lossless
-                images = (images * 255.0 + 0.5).astype(np.uint8)
+                # so every value is an integer/255 and the round-trip is
+                # lossless. INVARIANT (advisor r4): this holds only while the
+                # native resize emits exact integer/255 values — a future
+                # native change producing fractional pixels would silently
+                # perturb images here. tests/test_u8_transport covers it; set
+                # CCST_CHECK_U8=1 to also assert it at runtime per batch.
+                u8 = (images * 255.0 + 0.5).astype(np.uint8)
+                if os.environ.get("CCST_CHECK_U8"):
+                    if not np.array_equal(u8.astype(np.float32) / 255.0, images):
+                        raise AssertionError(
+                            "native resize produced non-integer/255 pixels; "
+                            "the uint8 transport round-trip is no longer "
+                            "lossless (see ccst_io.cpp resize parity)"
+                        )
+                images = u8
         else:
             futs = [
                 pool.submit(

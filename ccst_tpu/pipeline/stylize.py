@@ -320,10 +320,13 @@ class TransferReport:
     # evidence for the threaded pipeline. (first_batch_wait is the one decode
     # no pipeline could hide: there is no device work in flight yet.)
     loader_wait_seconds: float = 0.0        # waiting for a decoded batch
-    fetch_wait_seconds: float = 0.0         # device compute + d2h (+ the two below)
+    fetch_wait_seconds: float = 0.0         # device compute + d2h (additive:
+    #                                         emit backpressure is subtracted)
     first_batch_wait_seconds: float = 0.0   # unhideable priming decode
     encode_backpressure_seconds: float = 0.0  # writeback queue full
     encode_drain_seconds: float = 0.0       # final futures drain
+    style_decode_wait_seconds: float = 0.0  # single mode: blocked on the
+    #                                         prefetched style-image decode
 
 
 def _content_loader(cfg: StylizeConfig) -> Tuple[ImageBatchLoader, List[str]]:
@@ -391,9 +394,11 @@ class _DispatchAhead:
     transfer) of N+1 overlaps batch N's fetch, the encode threads, and the
     loader's prefetch. Exactly one extra in-flight output batch lives on
     device (u8: ~S*B*H*W*3 bytes). ``fetch_seconds`` accumulates the wall
-    time the main loop sat blocked in fetches, INCLUDING the final drain
-    and any encode backpressure inside the emit callback (reported
-    separately by the caller via _writeback's return value).
+    time the main loop sat blocked in fetches, including the final drain.
+    The emit callback returns the seconds it spent in encode backpressure;
+    that time is SUBTRACTED here (advisor r4: it was double-counted —
+    inside both fetch_wait and encode_backpressure), so the TransferReport
+    stall fields are additive.
     """
 
     def __init__(self) -> None:
@@ -413,8 +418,8 @@ class _DispatchAhead:
     def _flush(self, p) -> None:
         t1 = time.perf_counter()
         outs_device, emit = p
-        emit(np.asarray(outs_device))
-        self.fetch_seconds += time.perf_counter() - t1
+        backpressure = emit(np.asarray(outs_device)) or 0.0
+        self.fetch_seconds += time.perf_counter() - t1 - backpressure
 
 
 def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> TransferReport:
@@ -491,11 +496,14 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
 
                 def emit(outs_np, rel=rel):
                     nonlocal n_done, t_bp
+                    bp = 0.0
                     for si, style in enumerate(styles):
-                        t_bp += _writeback(
+                        bp += _writeback(
                             pool, outs_np[si], rel, cfg, style, mode, futs
                         )
                         n_done += len(rel)
+                    t_bp += bp
+                    return bp  # _DispatchAhead subtracts it from fetch_wait
 
                 pipe.push(outs, emit)
             pipe.drain()
@@ -519,7 +527,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
         _write_timing(cfg, mode, report)
         return report
 
-    t_loader = t_first = t_bp = t_fetch = t_drain = 0.0
+    t_loader = t_first = t_bp = t_fetch = t_drain = t_style = 0.0
     with cf.ThreadPoolExecutor(8) as pool:
         for style in styles:
             if not single:
@@ -547,10 +555,28 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
             pipe = _DispatchAhead()
             it = iter(style_loader)
             first = True
-            while True:
+
+            def read_next():
+                """Fetch the next content batch and, in single mode, draw +
+                prefetch its style image's decode on the pool (advisor r4:
+                that decode ran synchronously on the main thread, outside
+                every stall counter, and delayed the next dispatch). Draws
+                stay one-per-batch in batch order, so the seeded style
+                choices — and the outputs — are bit-identical to the
+                unprefetched loop."""
                 t1 = time.perf_counter()
-                batch = next(it, None)
+                b = next(it, None)
                 dt = time.perf_counter() - t1
+                sf = None
+                if b is not None and single:
+                    sf = pool.submit(
+                        load_image, rng.choice(style_lists[style]), cfg.image_size
+                    )
+                return b, sf, dt
+
+            cur = read_next()
+            while True:
+                batch, style_fut, dt = cur
                 if first:
                     t_first += dt
                     first = False
@@ -558,10 +584,13 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
                     t_loader += dt
                 if batch is None:
                     break
+                # prefetch the NEXT batch (and its style decode) before
+                # blocking on this batch's style image
+                cur = read_next()
                 if single:
-                    style_img = load_image(
-                        rng.choice(style_lists[style]), cfg.image_size
-                    )
+                    t1 = time.perf_counter()
+                    style_img = style_fut.result()
+                    t_style += time.perf_counter() - t1
                     s_mean, s_std = engine.style_stats_of(
                         jnp.asarray(style_img)[None]
                     )
@@ -573,8 +602,10 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
 
                 def emit(out_np, rel=rel, style=style):
                     nonlocal n_done, t_bp
-                    t_bp += _writeback(pool, out_np, rel, cfg, style, mode, futs)
+                    bp = _writeback(pool, out_np, rel, cfg, style, mode, futs)
+                    t_bp += bp
                     n_done += len(rel)
+                    return bp  # _DispatchAhead subtracts it from fetch_wait
 
                 pipe.push(out, emit)
             pipe.drain()
@@ -596,6 +627,7 @@ def _run_transfer(cfg: StylizeConfig, engine: StylizeEngine, mode: str) -> Trans
         first_batch_wait_seconds=round(t_first, 3),
         encode_backpressure_seconds=round(t_bp, 3),
         encode_drain_seconds=round(t_drain, 3),
+        style_decode_wait_seconds=round(t_style, 3),
     )
     _write_timing(cfg, mode, report)
     return report
@@ -625,6 +657,7 @@ def _write_timing(cfg: StylizeConfig, mode: str, report: TransferReport) -> None
                 "first_batch_wait_seconds": report.first_batch_wait_seconds,
                 "encode_backpressure_seconds": report.encode_backpressure_seconds,
                 "encode_drain_seconds": report.encode_drain_seconds,
+                "style_decode_wait_seconds": report.style_decode_wait_seconds,
             },
             f,
             indent=2,

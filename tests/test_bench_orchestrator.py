@@ -68,6 +68,25 @@ def test_orchestrated_single_size_cpu(tmp_path):
     assert "error" not in out
 
 
+@pytest.mark.slow
+def test_orchestrated_single_mode_cpu(tmp_path):
+    """Single-mode phase end-to-end on the host (VERDICT r4 #3): per-batch
+    on-device style-image stats + transfer, real child process, MAE vs the
+    torch twin computing its own per-image style stats."""
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--size", "32", "--batch", "2", "--mode", "single"],
+        env=_env(tmp_path), capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _last_json_line(proc.stdout)
+    assert out["metric"] == "stylize_img_per_sec_32px_single"
+    assert out["value"] > 0
+    assert out["quality_psnr_db"] > 20
+    assert out["mae_int8_vs_torch"] < 0.05
+    partial = json.loads((tmp_path / "partial.json").read_text())
+    assert partial["32-single"]["value"] == out["value"]
+
+
 def test_lockfile_excludes_second_process(tmp_path):
     """While one orchestrator holds the lock, a second prints a diagnostic
     JSON (not a hang, not a traceback) and exits 2."""
@@ -107,15 +126,23 @@ def test_child_crash_leaves_parseable_artifact(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_child(size, batch, timeout_s, current):
+    def fake_child(phase, timeout_s, current):
+        size, _batch, mode = phase
         calls.append(size)
         # a completed prior phase survives; the crashing phase only got as
         # far as calibration
         partial = bench._load_partial()
-        if size == 512:
+        if size == 512 and mode == "overall":
             partial["512"] = {"metric": "stylize_img_per_sec_512px", "calibrated": True}
             bench._flush_partial(partial)
             return -11  # SIGSEGV'd child
+        if mode == "single":
+            partial["512-single"] = {
+                "metric": "stylize_img_per_sec_512px_single", "value": 1300.0,
+                "vs_baseline": 17.13, "quality_psnr_db": 54.0,
+            }
+            bench._flush_partial(partial)
+            return 0
         partial["256"] = {
             "metric": "stylize_img_per_sec_256px", "value": 4521.21,
             "vs_baseline": 59.57, "bf16_img_per_sec": 1817.0, "bf16_batch": 128,
@@ -132,15 +159,19 @@ def test_child_crash_leaves_parseable_artifact(tmp_path, monkeypatch):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = bench._orchestrate([(512, 128), (256, 128)])
+        rc = bench._orchestrate(
+            [(512, 128, "overall"), (256, 128, "overall"), (512, 128, "single")]
+        )
     assert rc == 1
-    assert calls == [512, 512, 256]  # one retry of the crashed phase
+    assert calls == [512, 512, 256, 512]  # one retry of the crashed phase
     out = _last_json_line(buf.getvalue())
     assert out["metric"] == "stylize_img_per_sec_512px"
     assert out["value"] is None
     assert "did not complete" in out["error"]
     # the completed 256px phase is STILL in the driver-visible JSON
     assert out["at_256px"]["value"] == 4521.21
+    # and the single-mode phase lands in its own block (VERDICT r4 #3)
+    assert out["single_mode"]["512px"]["value"] == 1300.0
     partial = json.loads((tmp_path / "partial.json").read_text())
     assert partial["512"]["calibrated"] is True
 
@@ -157,14 +188,14 @@ def test_backend_watchdog_rc3_skips_remaining_phases(tmp_path, monkeypatch):
     bench.PARTIAL_PATH = str(tmp_path / "partial.json")
 
     calls = []
-    bench._run_child = lambda size, batch, t, cur: (calls.append(size), 3)[1]
+    bench._run_child = lambda phase, t, cur: (calls.append(phase[0]), 3)[1]
 
     import io
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = bench._orchestrate([(512, 128), (256, 128)])
+        rc = bench._orchestrate([(512, 128, "overall"), (256, 128, "overall")])
     assert rc == 1
     assert calls == [512]  # no retry against a wedged grant; 256 skipped
     out = _last_json_line(buf.getvalue())
