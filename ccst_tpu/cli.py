@@ -531,6 +531,23 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_repro(args) -> int:
+    """Paper-reproduction driver (pipeline/repro.py): the full
+    banks->stylize->reorganize->lists->fed-train->summary chain for a named
+    dataset, with the reference README's hyperparameters as defaults."""
+    from ccst_tpu.pipeline.repro import ReproConfig, run_repro
+
+    cfg = _dataclass_from_args(ReproConfig, args)
+    if not cfg.data_root:
+        raise SystemExit(
+            "repro needs --data-root (the directory holding "
+            f"{cfg.dataset.upper()}/kfold/... and txt_lists/; "
+            "see docs/REPRODUCE.md for the exact layout)"
+        )
+    run_repro(cfg)
+    return 0
+
+
 def cmd_summarize(args) -> int:
     from ccst_tpu.utils.metrics import summarize_many
 
@@ -723,6 +740,16 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "repro",
+        help="one-command paper reproduction: banks -> stylize -> reorg -> "
+        "lists -> fed-train (arm x target x seed) -> results table",
+    )
+    from ccst_tpu.pipeline.repro import ReproConfig
+
+    _add_dataclass_args(p, ReproConfig)
+    p.set_defaults(fn=cmd_repro)
 
     p = sub.add_parser("summarize", help="read_log-style multi-run summary")
     p.add_argument("logs", nargs="+")

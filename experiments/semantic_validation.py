@@ -397,6 +397,11 @@ def main() -> None:
                     help="comma list of arms to (re)run; arms not listed are "
                          "carried over from an existing --out artifact, so a "
                          "new arm can be measured without re-running the grid")
+    ap.add_argument("--seeds", default="",
+                    help="comma list of seeds; (arm, seed) results already "
+                         "in --out are kept and skipped, so widening the "
+                         "statistics (VERDICT r4 #8) only runs the NEW "
+                         "seeds. Default: 1,2,3 (1 with --quick)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -410,7 +415,10 @@ def main() -> None:
     ae_steps = 10 if args.quick else 1500
     dec_steps = 30 if args.quick else 1200
     rounds = 2 if args.quick else 16
-    seeds = [1] if args.quick else [1, 2, 3]
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    else:
+        seeds = [1] if args.quick else [1, 2, 3]
 
     _register(size)
 
@@ -425,13 +433,15 @@ def main() -> None:
     if unknown:
         ap.error(f"unknown arms: {sorted(unknown)}")
 
+    # prior results are ALWAYS carried over: unselected arms wholesale, and
+    # for selected arms the already-measured (arm, seed) pairs — so a
+    # statistics-widening run (--seeds 1..5) only pays for the new seeds
     results: Dict[str, List[Dict]] = {a: [] for a, _, _ in all_arms}
-    if len(selected) < len(all_arms) and os.path.exists(args.out):
+    if os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f).get("per_arm", {})
         for a, _, _ in all_arms:
-            if a not in selected:
-                results[a] = prior.get(a, [])
+            results[a] = list(prior.get(a, []))
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="ccst_semval_")
     enc = dec_ae_path = None
@@ -440,6 +450,8 @@ def main() -> None:
         for arm, engine_kind, mode in all_arms:
             if arm not in selected:
                 continue
+            if any(r.get("seed") == seed for r in results[arm]):
+                continue  # (arm, seed) already measured in a prior run
             root = os.path.join(workdir, f"{arm}_s{seed}")
             make_shapes_dataset(root, size, n_per_class, seed=seed)
             fusion = "no_fusion"
@@ -479,13 +491,20 @@ def main() -> None:
             "shapes4 synthetic domain shift (spurious class-tint correlation; "
             "target: uncorrelated tints)"
         ),
-        "seeds": seeds,
+        # union of every seed present in the artifact (prior + this run)
+        "seeds": sorted({r["seed"] for rs in results.values() for r in rs}),
         "rounds": rounds,
         "n_train_per_domain": n_per_class * len(CLASSES) * 3 // 4,
         "per_arm": results,
         "mean_test_acc": {
             a: float(np.mean(acc(a))) for a in results if results[a]
         },
+        # variance bars for the reproduced paper-Tab.3 ordering
+        # (overall > single > no_fusion), VERDICT r4 #8
+        "sd_test_acc": {
+            a: float(np.std(acc(a))) for a in results if results[a]
+        },
+        "n_seeds_per_arm": {a: len(results[a]) for a in results},
         "ccst_gain_bf16_vs_no_fusion": gain("bf16", "no_fusion"),
         "int8_vs_bf16_gap": gain("int8", "bf16"),
         "ccst_gain_single_vs_no_fusion": gain("single", "no_fusion"),

@@ -22,6 +22,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compile cache for the suite (VERDICT r4 #9: fast tier under
+# 5 min). Many tests rebuild the same VGG/classifier programs in fresh
+# closures, which jit cannot dedup (new function identity -> recompile); the
+# persistent cache dedups them by program fingerprint both WITHIN one run and
+# across runs. Namespaced per (platform, host CPU features) — a cache entry
+# can never carry executables across differently-featured hosts
+# (ccst_tpu/utils/compile_cache.py). Opt out with CCST_TEST_COMPILE_CACHE=0.
+from ccst_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.environ.get("CCST_TEST_COMPILE_CACHE", "~/.cache/ccst_tpu/xla-tests")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -45,6 +45,7 @@ def test_resnet18_eval_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_resnet50_bottleneck():
     model = get_network("resnet50", classes=65)
     x = jnp.ones((1, 64, 64, 3))

@@ -219,6 +219,7 @@ def test_cli_calibrate_persists_scales(cli_dataset, monkeypatch):
     assert a == b and len(a) >= 6
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_cli_chain_with_save_ext(cli_dataset, monkeypatch):
     """stylize --save-ext .jpg -> reorganize --save-ext .jpg -> gen-lists
     --save-ext .jpg: the three stages agree on the rewritten extension and

@@ -105,6 +105,7 @@ def test_cli_amp_bank(aux_dataset, capsys):
     assert amp.shape == (3, 32, 32)
 
 
+@pytest.mark.slow  # one-time AdaIN-train-step compile dominates; full tier covers it
 def test_cli_train_decoder(aux_dataset, capsys):
     root = aux_dataset
     out = os.path.join(root, "dec.npz")
@@ -272,13 +273,20 @@ def test_compile_cache_env_wiring(tmp_path, monkeypatch):
     recompiling — verified live on the TPU backend (docs/STATUS.md r4)."""
     import jax
 
+    from ccst_tpu.utils.compile_cache import host_fingerprint
+
     cache_dir = str(tmp_path / "xla_cache")
     monkeypatch.setenv("CCST_COMPILE_CACHE", cache_dir)
     prev = jax.config.jax_compilation_cache_dir
     try:
         with pytest.raises(SystemExit):
             run_cli("--help")  # the env wiring runs before argparse
-        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # the actual dir is namespaced per (platform, host CPU features):
+        # serialized CPU executables from a differently-featured host would
+        # otherwise be reloaded (SIGILL-warning source, VERDICT r4 weak #2)
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            cache_dir, host_fingerprint()
+        )
     finally:
         # global jax config: later tests must not silently write persistent
         # cache entries into this test's tmp_path

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from ccst_tpu.models.classifiers import get_network
@@ -79,6 +80,7 @@ def test_load_imagenet_resnet_from_pth(tmp_path):
     )
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_resnet50_conversion_forward_parity(rng):
     """Bottleneck path of the converter (the reference also loads pretrained
     resnet50, nets/resnet.py:339-345,350-370): 3 convs per block plus the

@@ -50,6 +50,7 @@ def test_tent_updates_only_bn_affine(rng):
     assert float(count) == 4.0
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_tent_reduces_entropy(rng):
     model, state = small_state()
     step = jax.jit(make_tent_step(model, image_size=36, lr=0.05))

@@ -36,6 +36,7 @@ def test_filter_blank_images(tmp_path, rng):
     assert all("img" + str(i) in " ".join(kept) for i in (3, 4, 5))
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_train_decoder_smoke(tmp_path, rng):
     from ccst_tpu.pipeline.train_decoder import DecoderTrainConfig, train_decoder
 

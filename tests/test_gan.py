@@ -30,6 +30,7 @@ def test_diff_augment_shapes_and_determinism(rng):
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_discriminator_heads(rng):
     disc = Discriminator(image_size=64, fmap_max=64)
     x = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
@@ -75,6 +76,7 @@ def test_save_augment_grid(tmp_path, rng):
     assert grid.shape == (4 * 16, 3 * 16, 3)
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_gradient_penalty_path(rng):
     """gp_weight>0 engages the R1 penalty on gp_every-aligned steps
     (upstream lightweight_gan.py:1181,1220-1235) and training stays finite;
@@ -107,6 +109,7 @@ def test_vgg_frechet_distance(rng):
     assert 0 <= d1 < d2, (d1, d2)
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_linear_attention_block(rng):
     """Attention at feature resolutions (upstream --attn-res-layers): shape
     preservation, gradient flow, and batch independence (sample i's output
@@ -127,6 +130,7 @@ def test_linear_attention_block(rng):
     assert not np.allclose(np.asarray(y[1]), np.asarray(y2[1]))
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_gan_with_attention_trains(rng):
     cfg = GanConfig(image_size=32, latent_dim=16, batch_size=2, steps=1,
                     fmap_max=16, lr=1e-3, attn_res=(8,))

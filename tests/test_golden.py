@@ -93,6 +93,7 @@ def test_stylize_golden_production_shape():
     assert np.quantile(err, 0.999) / span < 2e-2
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_stylize_golden_int8_static():
     """Drift anchor for the quantized engine: int8-static at 64px with
     fixed weights/scales. The int8 path is integer-deterministic (int32

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ccst_tpu.kernels.adain_pallas import fused_adain
 from ccst_tpu.kernels.welford_pallas import channel_moments
@@ -126,6 +127,7 @@ def _q8s_params():
     )
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_encoder_level1_fused_bit_exact(rng):
     """Fused conv1_1+conv1_2+phase-max == the unfused _qconv_s chain, bit
     for bit (same int32 accumulation, f32 epilogue, monotone max/rint swap)."""
@@ -148,6 +150,7 @@ def test_encoder_level1_fused_bit_exact(rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_decoder_level1_fused_bit_exact(rng):
     from ccst_tpu.kernels import level1_pallas as L1
     from ccst_tpu.models import vgg_fast
@@ -162,6 +165,7 @@ def test_decoder_level1_fused_bit_exact(rng):
     )
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_fused_engine_matches_q8s_end_to_end(rng):
     """apply_*_q8s_fused == apply_*_q8s through the full encoder/decoder."""
     from ccst_tpu.models import vgg, vgg_fast

@@ -155,6 +155,129 @@ def test_cli_multihost_fed_train(tmp_path):
         )
 
 
+def _make_synth_camelyon(root: str) -> None:
+    """Tiny camelyon17-shaped tree: 5 hospitals so targeting hospital5
+    leaves FOUR source clients — the shape that puts MULTIPLE clients on
+    one process in a 2-process launch."""
+    import numpy as np
+
+    from ccst_tpu.data.lists import write_list
+    from ccst_tpu.data.loader import save_image_u8
+
+    rng = np.random.default_rng(11)
+    for d in [f"hospital{i}" for i in range(1, 6)]:
+        names, labels = [], []
+        for ci in range(2):
+            for i in range(4):
+                rel = f"Camelyon17/kfold/{d}/cls{ci}/img{i}.png"
+                base = 0.3 + 0.4 * ci
+                save_image_u8(
+                    np.clip(rng.normal(base, 0.1, (36, 36, 3)), 0, 1).astype(
+                        np.float32
+                    ),
+                    os.path.join(root, rel),
+                )
+                names.append(rel)
+                labels.append(ci)
+        write_list(
+            os.path.join(root, "txt_lists", "camelyon17", f"{d}_train.txt"),
+            names, labels,
+        )
+        write_list(
+            os.path.join(root, "txt_lists", "camelyon17", f"{d}_test.txt"),
+            names[:3], labels[:3],
+        )
+
+
+def test_cli_multihost_parallel_clients_u8(tmp_path):
+    """VERDICT r4 #7: the COMBINED multihost x parallel-clients x u8 path.
+
+    4 camelyon17 source clients over 2 jax.distributed processes — each
+    process steps TWO clients vmapped inside the one global collective
+    program (2 local virtual devices per process carry the client axis) —
+    with the loaders' default uint8 transport (federated/data.py ships
+    bytes; runtime._batch_dict converts on device). Both ranks must agree,
+    and the aggregated server must match a single-process parallel-clients
+    run of the same config."""
+    import json
+
+    import numpy as np
+
+    root = str(tmp_path)
+    _make_synth_camelyon(root)
+    port = _free_port()
+
+    def fed_args(save, log):
+        return [
+            "-m", "ccst_tpu.cli", "fed-train",
+            "--dataset", "camelyon17", "--target", "hospital5",
+            "--network", "resnet4", "--rounds", "2", "--wk-iters", "1",
+            "--batch-size", "4", "--image-size", "36", "--lr", "0.05",
+            "--data-root", root, "--list-root", root,
+            "--save-path", os.path.join(root, save),
+            "--log-path", os.path.join(root, log),
+            "--save-freq", "1",
+        ]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["CCST_PLATFORM"] = "cpu"
+    # 2 virtual devices per process: the 4-client axis spans 2 procs x 2
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable] + fed_args("ckpt_mh", "logs_mh") + [
+                "--coordinator", f"localhost:{port}",
+                "--num-procs", "2", "--proc-id", str(pid),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"rank failed:\nstdout={out}\nstderr={err[-3000:]}"
+        results.append(json.loads(out.splitlines()[-1]))
+    assert results[0] == results[1], results
+
+    run_name = "camelyon17_hospital5_fedavg_no_fusion_no_DG_resnet4_seed1"
+    ck = os.path.join(root, "ckpt_mh", run_name + "_latest.ckpt")
+    assert os.path.exists(ck)
+
+    env_sp = dict(env)
+    env_sp["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    sp = subprocess.run(
+        [sys.executable] + fed_args("ckpt_sp", "logs_sp")
+        + ["--parallel-clients"],
+        capture_output=True, env=env_sp, text=True, timeout=540,
+    )
+    assert sp.returncode == 0, sp.stderr[-3000:]
+    from ccst_tpu.utils.checkpoint import load_checkpoint
+
+    mh = load_checkpoint(ck)
+    sh = load_checkpoint(
+        os.path.join(root, "ckpt_sp", run_name + "_latest.ckpt")
+    )
+    import jax
+
+    for a, b in zip(
+        jax.tree.leaves(mh["server"]), jax.tree.leaves(sh["server"])
+    ):
+        # tolerance set from measurement: vs the 3-proc PACS test (max
+        # ~2.3e-4), this arm adds two fp-order perturbations — the 4-way
+        # client all-reduce grouping and 2-device-per-process layouts vs the
+        # single-device vmap — and 2 training rounds amplify them through
+        # BN/ReLU ties to a measured max of 5.9e-3 on 2/64 elements of one
+        # leaf. The known semantic bugs this test class exists to catch
+        # (hash-randomized val split, converter aliasing) sit at ~1e-1.
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-2, atol=2e-3,
+        )
+
+
 def test_cli_multihost_invert_train(tmp_path):
     """The reference's actual DDP entry point (imagenet_reconstruct.py:
     141-175) made launchable: 2-process `invert-train --coordinator ...`,

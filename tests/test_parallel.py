@@ -1,5 +1,7 @@
 """Mesh-parallel paths on the 8-device virtual CPU mesh: client-parallel
 federated training and spatially-sharded stylization."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,8 @@ from ccst_tpu.parallel.fed_mesh import (
     stack_step_batches,
 )
 from ccst_tpu.parallel.spatial import make_spatial_mesh, make_spatial_stylize
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_client_states(model, n, seed=0):
@@ -38,7 +42,16 @@ def batches_for(rng, n_batches, b=4, size=36, classes=4):
     return out
 
 
-@pytest.mark.parametrize("use_mesh", [False, True])
+@pytest.mark.parametrize(
+    "use_mesh",
+    [
+        False,
+        # the mesh arm is covered in the slow tier (plus
+        # test_three_clients_on_eight_devices and the dryrun stages);
+        # the fast tier keeps the vmap path (r5 fast-tier trim)
+        pytest.param(True, marks=pytest.mark.slow),
+    ],
+)
 def test_parallel_fed_epoch_and_aggregate(rng, use_mesh):
     model = get_network("resnet4", classes=4)
     n_clients = 2
@@ -177,6 +190,48 @@ def test_spatial_sharded_stylize_matches_single_device(rng):
     s_std = (rng.random(512, dtype=np.float32) * 0.1 + 0.05).astype(np.float32)
 
     mesh = make_spatial_mesh(4)
+    sharded = make_spatial_stylize(mesh, dtype=jnp.float32)
+    out_sharded = np.asarray(sharded(enc, dec, images, s_mean, s_std, 1.0))
+
+    from ccst_tpu.pipeline.stylize import StylizeEngine
+
+    engine = StylizeEngine(enc, dec, dtype=jnp.float32)
+    out_single = np.asarray(engine.stylize(jnp.asarray(images), s_mean, s_std, 1.0))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [16, 32])
+def test_dryrun_multichip_scales(n):
+    """VERDICT r4 #7: the full dryrun stage set (fed step + FedAvg, spatial
+    halo stylize, DP AdaIN train, TP ResNet-50, uneven 3-client fed) must
+    compile and execute on meshes LARGER than the usual 8 — n in {16, 32}.
+    The conftest pins this process to 8 virtual devices, so dryrun
+    re-provisions the bigger mesh in a subprocess (the same path the driver
+    exercises when the backend is pre-initialized)."""
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(n)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_stylize_512px_height(rng):
+    """VERDICT r4 #7: spatial bit-parity at a 512px-SHAPED input — H=512 is
+    the production stylize height (64 relu4_1 rows -> 8 rows per shard on
+    the full 8-way mesh), not a 16*n toy height. W=128 keeps the CPU-mesh
+    FLOPs tractable; the sharded axis geometry (shard size, halo widths at
+    every level, ceil-mode pool boundaries) is identical to 512x512 because
+    only H is partitioned."""
+    enc = vgg.init_params(jax.random.PRNGKey(0), vgg.ENCODER_ARCH)
+    dec = vgg.init_params(jax.random.PRNGKey(1), vgg.DECODER_ARCH)
+    images = rng.random((1, 512, 128, 3), dtype=np.float32)
+    s_mean = rng.standard_normal(512, dtype=np.float32) * 0.05
+    s_std = (rng.random(512, dtype=np.float32) * 0.1 + 0.05).astype(np.float32)
+
+    mesh = make_spatial_mesh(8)
     sharded = make_spatial_stylize(mesh, dtype=jnp.float32)
     out_sharded = np.asarray(sharded(enc, dec, images, s_mean, s_std, 1.0))
 

@@ -97,6 +97,7 @@ def test_int8_static_scale_stylize_quality(enc_dec, images):
     assert psnr > 20.0, f"int8-e2e stylize PSNR {psnr:.1f} dB too low"
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_int8_stylize_quality(enc_dec, images):
     """Full int8 stylize tracks the fp32 path (coarse bound: quantization
     noise, not correctness drift — exact parity belongs to the bf16 engines)."""
@@ -171,6 +172,7 @@ def test_stylize_engine_int8_fused_matches_static(rng):
     np.testing.assert_array_equal(outs["int8-static"], outs["int8-fused"])
 
 
+@pytest.mark.slow  # scalar-slow on XLA-CPU; full tier covers it (r5 fast-tier trim)
 def test_fused_engine_odd_size_falls_back(rng):
     """Sizes whose packed height defies the kernel's row-tile constraint
     (e.g. 36px -> 18 rows) silently use the unfused chain."""
