@@ -1,0 +1,269 @@
+"""A/B: output-stationary pool1+conv2_1 fusion (the last named lever).
+
+VERDICT r4 weak #1 / directive #5: conv2_1 runs at 47% of int8 peak and the
+one named-but-never-built lever from round 2 is "output-stationary
+multi-layer tiling" — compute conv2_1 directly from conv1_2's packed output
+with the phase-max pool applied in VMEM, so the pooled 256^2x64 tensor
+never round-trips HBM and pool1's ~14 ms of standalone elementwise time
+disappears into the conv kernel's load path.
+
+What the fusion can and cannot buy (from docs/WINOGRAD.md's measured table,
+b128 @512px):
+  pool1 (XLA)    14.04 ms   int8 elementwise floor (~230 GB/s)
+  conv2_1 (XLA)  13.19 ms   187 TOPs = 47% of int8 peak
+  production total: 27.2 ms
+The fusion eliminates pool1's HBM write + conv2_1's HBM read (~1.07 GB at
+b128) and lets the pool's VPU max ride the same VMEM residency as the conv
+dots; its risk is the in-kernel conv rate — the round-2/3 campaign measured
+Pallas direct 3x3 dots at ~0.6x XLA's conv rate (WINOGRAD.md §2: 4.27 vs
+2.50 ms on the conv1_2 class), and the fused level-1 encoder (which already
+absorbs pool1 for free) only TIES the unfused chain.
+
+Variants (bit-identical outputs checked first, same int32 accumulation +
+f32 requant epilogue as models/vgg_fast._qconv_s):
+
+  A   production: phase_max (XLA) -> dense reflect conv2_1 (XLA)
+  F9  fused Pallas kernel, conv as 9 tap dots of K=64
+  F3  fused Pallas kernel, conv as 3 row-tap dots of K=192 (column taps
+      concatenated along lanes in VMEM — fewer, fatter MXU calls at the
+      cost of an int8 VPU concat)
+
+Run: python benchmarks/fused_pool_conv_ab.py          (real chip)
+     python benchmarks/fused_pool_conv_ab.py --check  (CPU, interpret mode)
+
+Result: see docs/WINOGRAD.md §5 addendum (recorded after the on-chip run).
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ccst_tpu.models import vgg
+from ccst_tpu.models.vgg_fast import QConvS, _qconv_s, _quantize_kernel, phase_max
+
+Array = jax.Array
+B = 128
+
+
+# ---------------------------------------------------------------------------
+# the fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _pool_conv_kernel(
+    x_hbm, w_ref, k_ref, kb_ref, out_ref, s_in, s_mid, sem,
+    *, ht: int, wb: int, cat: bool,
+):
+    """Grid (N, T). x_hbm: (N, Hb+8, Wpad, 256) int8, reflect-padded 2 rows
+    top / 1 col left (alignment slack elsewhere): padded row r == original
+    row r-2, so one reflect pad gives every tile — boundary included — its
+    exact conv halo with no in-kernel fixups. Per tile: DMA slab -> phase
+    max over the 4 lane groups (the pool) -> 3x3 int8 conv -> requant int8.
+    """
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(x_hbm.at[n, pl.ds(t * ht, ht + 8)], s_in, sem)
+    dma.start()
+    dma.wait()
+
+    # pool: rows [1, ht+3) of the slab are original rows [t*ht-1, t*ht+ht+1)
+    x = s_in[1 : ht + 3]
+    s_mid[...] = jnp.maximum(
+        jnp.maximum(x[..., 0:64], x[..., 64:128]),
+        jnp.maximum(x[..., 128:192], x[..., 192:256]),
+    )
+
+    if cat:
+        # column taps concatenated along lanes: 3 dots of K=192
+        xs = jnp.concatenate(
+            [s_mid[:, 0:wb], s_mid[:, 1 : wb + 1], s_mid[:, 2 : wb + 2]],
+            axis=-1,
+        )
+        acc = None
+        for dy in range(3):
+            d = jax.lax.dot_general(
+                xs[dy : dy + ht], w_ref[dy],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = d if acc is None else acc + d
+    else:
+        acc = None
+        for tap in range(9):
+            dy, dx = divmod(tap, 3)
+            d = jax.lax.dot_general(
+                s_mid[dy : dy + ht, dx : dx + wb], w_ref[tap],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = d if acc is None else acc + d
+
+    y = acc.astype(jnp.float32) * k_ref[0] + kb_ref[0]
+    out_ref[0] = jnp.clip(jnp.rint(y), 0.0, 127.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "cat", "interpret"))
+def pool_conv_fused(
+    xp: Array, wq: Array, k: Array, kb: Array,
+    *, ht: int = 32, cat: bool = False, interpret: bool = False,
+):
+    """conv1_2 packed output (N, Hb, Wb, 256) int8 -> conv2_1 output
+    (N, Hb, Wb, 128) int8, pool1 fused in. wq: (3,3,64,128) int8 dense
+    conv2_1 kernel; k/kb: f32 epilogue scales (vgg_fast.QConvS layout)."""
+    n, hb, wb, c = xp.shape
+    assert c == 256 and hb % ht == 0 and ht % 8 == 0
+    wpad = -(-(wb + 2) // 8) * 8
+    # ONE reflect pad supplies every halo: padded row r = original r-2
+    # (padded row 1 = original row 1 = reflect of row -1; bottom rows
+    # H..H+5 = reflect rows H-2..; padded col 0 = original col 1)
+    xpad = jnp.pad(xp, ((0, 0), (2, 6), (1, wpad - wb - 1), (0, 0)),
+                   mode="reflect")
+    if cat:
+        # (3,3,64,128) -> per row-tap (192,128): column taps K-major
+        w = jnp.stack(
+            [jnp.concatenate([wq[dy, dx] for dx in range(3)], axis=0)
+             for dy in range(3)]
+        )
+    else:
+        w = wq.reshape(9, 64, 128)
+
+    kernel = functools.partial(_pool_conv_kernel, ht=ht, wb=wb, cat=cat)
+    vec = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, hb // ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual DMA
+            pl.BlockSpec(tuple(w.shape), lambda n, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ht, wb, 128), lambda n, t: (n, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hb, wb, 128), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((ht + 8, wpad, 256), jnp.int8),   # input slab
+            pltpu.VMEM((ht + 2, wpad, 64), jnp.int8),    # pooled plane
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xpad, w, vec(k), vec(kb))
+
+
+# ---------------------------------------------------------------------------
+# harness (timeit conventions from packed_l2_ab.py: chained fori_loop with a
+# real data dependency — `out & 0`-style dependencies get DCE'd, docs/STATUS)
+# ---------------------------------------------------------------------------
+
+
+def timeit(fn, x, n1=2, n2=8, reps=5):
+    @jax.jit
+    def chain(x, iters):
+        def body(_, v):
+            out = fn(v)
+            return v + (jnp.mean(out.astype(jnp.float32)) * 1e-12).astype(v.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def run(iters):
+        t0 = time.perf_counter()
+        jax.device_get(jnp.sum(chain(x, jnp.asarray(iters)).astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    run(2)
+    ts = []
+    for _ in range(reps):
+        t1, t2 = run(n1), run(n2)
+        ts.append((t2 - t1) / (n2 - n1) * 1e3)
+    return round(float(np.median(ts)), 2)
+
+
+def build_prep(seed=0):
+    key = jax.random.PRNGKey(seed)
+    enc = vgg.init_params(key, vgg.ENCODER_ARCH, dtype=jnp.float32)
+    w = np.asarray(enc["conv2_1"]["w"], np.float32)  # (3,3,64,128)
+    wq, ws = _quantize_kernel(w)
+    in_s, out_s = 11.0 / 127.0, 9.0 / 127.0
+    k = np.asarray(ws, np.float32) * in_s / out_s
+    kb = np.asarray(enc["conv2_1"]["b"], np.float32) / out_s
+    return QConvS(wq, jnp.asarray(k), jnp.asarray(kb), False, True), wq, k, kb
+
+
+def production(q):
+    def A(xp):
+        return _qconv_s(phase_max(xp, 64), q, True, jnp.bfloat16, "reflect")
+    return A
+
+
+def check_correctness(interpret: bool):
+    q, wq, k, kb = build_prep()
+    rng = np.random.default_rng(1)
+    xp = jnp.asarray(rng.integers(-5, 120, (2, 16, 16, 256)), jnp.int8)
+    want = np.asarray(production(q)(xp))
+    for cat in (False, True):
+        got = np.asarray(
+            pool_conv_fused(xp, jnp.asarray(wq), k, kb, ht=8, cat=cat,
+                            interpret=interpret)
+        )
+        assert got.shape == want.shape, (got.shape, want.shape)
+        assert np.array_equal(got, want), (
+            f"cat={cat}: max |err| {np.abs(got.astype(np.int32) - want.astype(np.int32)).max()}"
+        )
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="CPU interpret-mode bit-exactness only")
+    args = ap.parse_args()
+    if args.check:
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"correctness": check_correctness(True)}))
+        return
+
+    q, wq, k, kb = build_prep()
+    print(json.dumps({"correctness": check_correctness(False)}), flush=True)
+
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.integers(-5, 120, (B, 256, 256, 256)), jnp.int8)
+    wqj = jnp.asarray(wq)
+
+    res = {}
+    res["A_pool1_c21_xla_ms"] = timeit(production(q), xp)
+    print(json.dumps(res), flush=True)
+    for ht in (32, 64):
+        res[f"F9_fused_ht{ht}_ms"] = timeit(
+            lambda x: pool_conv_fused(x, wqj, k, kb, ht=ht, cat=False), xp
+        )
+        print(json.dumps(res), flush=True)
+        res[f"F3_fused_ht{ht}_ms"] = timeit(
+            lambda x: pool_conv_fused(x, wqj, k, kb, ht=ht, cat=True), xp
+        )
+        print(json.dumps(res), flush=True)
+    best_f = min(v for kk, v in res.items() if kk.startswith("F"))
+    step_ms = 343.0  # measured engine step at b128 (docs/WINOGRAD.md §3)
+    d = res["A_pool1_c21_xla_ms"] - best_f
+    res["delta_ms"] = round(d, 2)
+    res["projected_img_per_sec_if_fused"] = round(384.0 / (step_ms - d) * 1e3, 1)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

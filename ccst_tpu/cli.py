@@ -376,6 +376,7 @@ def cmd_invert_eval(args) -> int:
         vgg_weights=args.vgg_weights,
         lpips_vgg=args.lpips_vgg,
         lpips_lin=args.lpips_lin,
+        style_stats_dir=args.style_stats_dir,
     )
     report = evaluate_inverter(cfg, target=args.target, overall=args.overall)
     print(json.dumps(report))
@@ -665,6 +666,7 @@ def main(argv: Optional[list] = None) -> int:
         ("--list-root", "", str), ("--data-root", "", str),
         ("--out-dir", "inverter", str), ("--vgg-weights", "", str),
         ("--lpips-vgg", "", str), ("--lpips-lin", "", str),
+        ("--style-stats-dir", "style_stats", str),
     ):
         p.add_argument(name, default=default, type=caster)
     p.add_argument("--image-size", type=int, default=256)

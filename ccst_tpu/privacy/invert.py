@@ -59,6 +59,7 @@ class InvertConfig:
     out_dir: str = "inverter"
     vgg_weights: str = ""
     eval_limit: int = 64          # images scored at eval
+    style_stats_dir: str = "style_stats"  # Overall banks (--overall eval)
     loss: str = "mse"             # "mse" | "mse+perceptual"
     perc_weight: float = 0.1      # weight of the perceptual term
     lpips_vgg: str = ""           # torchvision vgg16 .pth -> TRUE LPIPS
@@ -315,18 +316,62 @@ def evaluate_inverter(
     os.makedirs(out_img_dir, exist_ok=True)
 
     if overall:
-        # invert the shared Overall statistic of the (target or source) domain
+        # invert the shared Overall statistic of the (target or source)
+        # domain — and QUANTIFY what it leaks: the reference only saves the
+        # image (test_overall.py:100-126); here the single reconstruction is
+        # additionally scored against up to eval_limit of the domain's
+        # images, so the per-image-vs-overall leakage ordering is a number,
+        # not an eyeball (EXPERIMENT_PRIVACY.json).
         from ccst_tpu.pipeline.style_bank import load_style_stats
 
         domain = target or cfg.source
-        stats = os.path.join("style_stats", cfg.dataset.lower(), f"{domain}_mean_std.npz")
+        stats = os.path.join(
+            cfg.style_stats_dir, cfg.dataset.lower(), f"{domain}_mean_std.npz"
+        )
         if not os.path.exists(stats):
             stats = stats[:-4] + ".npy"
         mean, std = load_style_stats(stats)
         z = jnp.concatenate([jnp.asarray(mean), jnp.asarray(std)])[None]
         recon = model.apply({"params": params}, z, train=False)
-        save_image_u8(np.asarray(recon[0]), os.path.join(out_img_dir, "overall.png"))
-        return {"mode": "overall", "domain": domain, "image": os.path.join(out_img_dir, "overall.png")}
+        img_path = os.path.join(out_img_dir, "overall.png")
+        save_image_u8(np.asarray(recon[0]), img_path)
+
+        names, labels = parse_list(
+            train_list_path(cfg.list_root, cfg.dataset, domain)
+        )
+        if cfg.data_root:
+            names = [os.path.join(cfg.data_root, n) for n in names]
+        loader = ImageBatchLoader(
+            names[: cfg.eval_limit], labels[: cfg.eval_limit],
+            batch_size=cfg.batch_size, image_size=cfg.image_size,
+        )
+        recon_b = jnp.broadcast_to(recon, (cfg.batch_size, *recon.shape[1:]))
+        score = jax.jit(
+            lambda imgs: (
+                psnr(recon_b, imgs),
+                perceptual_distance(enc, recon_b, imgs),
+            )
+        )
+        psnrs, percs = [], []
+        for batch in loader:
+            p, d = score(jnp.asarray(batch.images))
+            psnrs.extend(float(v) for v in p[: batch.valid])
+            percs.extend(float(v) for v in d[: batch.valid])
+        report = {
+            "mode": "overall",
+            "domain": domain,
+            "image": img_path,
+            "images_scored": len(psnrs),
+            "psnr_mean": float(np.mean(psnrs)),
+            "psnr_std": float(np.std(psnrs)),
+            "perceptual_mean": float(np.mean(percs)),
+            "perceptual_std": float(np.std(percs)),
+        }
+        np.save(os.path.join(out_img_dir, "psnr_perceptual.npy"),
+                np.stack([psnrs, percs]))
+        with open(os.path.join(out_img_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        return report
 
     domain = target or cfg.source
     names, labels = parse_list(

@@ -1,0 +1,206 @@
+"""Privacy finding, quantified: per-image style vectors leak, Overall doesn't.
+
+VERDICT r4 #2. The reference's rebuttal subsystem exists to produce one
+finding (reconstruct_img/): a single image's shared style vector (relu4_1
+mean ‖ std, 1024 floats) carries enough information to reconstruct the
+image (test.py:193-230), while the ONE domain-level Overall statistic CCST
+actually shares reconstructs essentially nothing (test_overall.py:100-126 —
+which only eyeballs the image; here the ordering is measured). Round 4
+proved the training/eval plumbing on the chip with Gaussian-noise content,
+which caps val PSNR at the noise ceiling and demonstrates nothing about
+leakage; this experiment reruns the chain on STRUCTURED content and commits
+the ordering:
+
+  per-image arm:  PSNR(G(z_i), image_i) over held-out-seeded domain images
+  overall arm:    PSNR(G(z_domain), image_i) over the SAME images
+  mean baseline:  PSNR(mean image of the domain, image_i) — the theoretical
+                  best any single fixed reconstruction can do on average
+
+Expected (the paper's rebuttal): per-image >> overall ~= mean-image.
+
+Content: the shapes4 benchmark (experiments/semantic_validation.py) — class
+shapes x per-image tints, the structured synthetic already used for the
+semantic validation. Inverters are trained with the PRODUCTION
+privacy.invert.train_inverter path (the same code `ccst-tpu invert-train`
+runs); banks with the production style-bank stage.
+
+Artifacts: EXPERIMENT_PRIVACY.json (repo root) + reconstruction panels
+under experiments/privacy_grids/. CPU CI tier: tests/test_privacy_leakage.py.
+
+Run:  python experiments/privacy_leakage.py          (real TPU chip)
+      python experiments/privacy_leakage.py --quick  (CPU-sized smoke)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+from typing import Dict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(
+    workdir: str,
+    out_json: str,
+    grids_dir: str,
+    *,
+    size: int = 64,
+    n_per_class: int = 24,
+    steps: int = 800,
+    ae_steps: int = 1200,
+    batch: int = 16,
+    sources=("rot0", "rot1"),
+    seed: int = 1,
+) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ccst_tpu.config import StylizeConfig
+    from ccst_tpu.data.lists import parse_list, train_list_path
+    from ccst_tpu.data.loader import ImageBatchLoader, load_image, save_image_u8
+    from ccst_tpu.models.convert import save_npz
+    from ccst_tpu.pipeline.style_bank import compute_style_bank
+    from ccst_tpu.privacy.invert import (
+        InvertConfig, evaluate_inverter, psnr, train_inverter,
+    )
+    from experiments.semantic_validation import (
+        CLASSES, DOMAINS, _register, make_experiment_encoder,
+        make_shapes_dataset, pretrain_encoder,
+    )
+
+    _register(size)
+    root = os.path.join(workdir, "data")
+    make_shapes_dataset(root, size, n_per_class, seed=seed)
+
+    # An encoder whose relu4_1 actually ENCODES. A raw random-init encoder
+    # contracts all inputs to one point (measured: cross-image style-vector
+    # std 1.4e-5 at magnitude 4e-3 — 0.3%, below even the bf16 quantization
+    # floor), which makes EVERY inversion arm reconstruct the mean image
+    # and proves nothing. The LSUV + autoencoder pretraining from the
+    # semantic-validation chain is the zero-egress substitute for the
+    # pretrained vgg_normalised.pth the reference downloads.
+    probes = np.stack([
+        load_image(os.path.join(
+            root, f"SHAPES4/kfold/{d}/{c}/img000.png"), size)
+        for d in DOMAINS[:-1] for c in CLASSES
+    ])
+    enc = make_experiment_encoder(probes)
+    enc, _ = pretrain_encoder(root, size, ae_steps, enc)
+    enc_path = os.path.join(workdir, "encoder.npz")
+    save_npz(enc_path, enc)
+    stats_dir = os.path.join(workdir, "style_stats")
+    bank_cfg = StylizeConfig(
+        dataset="shapes4", image_size=size, batch_size=batch,
+        list_root=root, data_root=root, style_stats_dir=stats_dir,
+        dtype="float32",
+    )
+    for d in sources:
+        compute_style_bank(bank_cfg, d, encoder_params=enc)
+
+    os.makedirs(grids_dir, exist_ok=True)
+    result: Dict[str, Dict] = {}
+    for src in sources:
+        cfg = InvertConfig(
+            dataset="shapes4", source=src, list_root=root, data_root=root,
+            image_size=size, batch_size=batch, steps=steps, seed=seed,
+            out_dir=os.path.join(workdir, "inv"), vgg_weights=enc_path,
+            style_stats_dir=stats_dir, eval_limit=48,
+        )
+        best = train_inverter(cfg)
+        per_image = evaluate_inverter(cfg)           # recon_i vs image_i
+        overall = evaluate_inverter(cfg, overall=True)  # one recon vs all
+
+        # mean-image baseline: the best any FIXED image can do on average
+        names, labels = parse_list(train_list_path(root, "shapes4", src))
+        names = [os.path.join(root, n) for n in names]
+        loader = ImageBatchLoader(
+            names[: cfg.eval_limit], labels[: cfg.eval_limit],
+            batch_size=batch, image_size=size,
+        )
+        imgs = np.concatenate([b.images[: b.valid] for b in loader])
+        mean_img = imgs.mean(axis=0, keepdims=True)
+        mean_psnrs = np.asarray(
+            psnr(jnp.asarray(np.broadcast_to(mean_img, imgs.shape)),
+                 jnp.asarray(imgs))
+        )
+
+        gap = per_image["psnr_mean"] - overall["psnr_mean"]
+        result[src] = {
+            "train_best_val_psnr": best["psnr"],
+            "per_image": {k: per_image[k] for k in
+                          ("psnr_mean", "psnr_std", "perceptual_mean")},
+            "overall": {k: overall[k] for k in
+                        ("psnr_mean", "psnr_std", "perceptual_mean")},
+            "mean_image_baseline": {
+                "psnr_mean": float(mean_psnrs.mean()),
+                "psnr_std": float(mean_psnrs.std()),
+            },
+            "leakage_gap_db": float(gap),
+        }
+        print(f"[{src}] per-image {per_image['psnr_mean']:.2f} dB  "
+              f"overall {overall['psnr_mean']:.2f} dB  "
+              f"mean-img {mean_psnrs.mean():.2f} dB  gap {gap:.2f} dB",
+              flush=True)
+
+        # panel: originals / per-image recons / overall recon
+        panel = os.path.join(grids_dir, src)
+        os.makedirs(panel, exist_ok=True)
+        recon_dir = per_image["recon_dir"]
+        for j in range(min(4, len(imgs))):
+            save_image_u8(imgs[j], os.path.join(panel, f"orig_{j}.png"))
+            shutil.copyfile(os.path.join(recon_dir, f"recon_{j}.png"),
+                            os.path.join(panel, f"recon_{j}.png"))
+        shutil.copyfile(overall["image"], os.path.join(panel, "overall.png"))
+        save_image_u8(mean_img[0], os.path.join(panel, "mean_image.png"))
+
+    summary = {
+        "benchmark": "shapes4 structured content (class shapes x tints)",
+        "image_size": size,
+        "n_train_per_domain": n_per_class * 4,
+        "steps": steps,
+        "per_source": result,
+        "finding": (
+            "per-image style vectors reconstruct images; the shared "
+            "domain-level Overall statistic reconstructs ~the mean image "
+            "(reference rebuttal, reconstruct_img/test.py vs test_overall.py)"
+        ),
+        "min_leakage_gap_db": min(r["leakage_gap_db"] for r in result.values()),
+    }
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_source"}))
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="CPU-sized smoke")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) backend")
+    ap.add_argument("--out", default="EXPERIMENT_PRIVACY.json")
+    ap.add_argument("--grids", default="experiments/privacy_grids")
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--steps", type=int, default=0)
+    args = ap.parse_args()
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="ccst_privacy_")
+    if args.quick:
+        run(workdir, args.out, args.grids, size=32, n_per_class=6,
+            steps=args.steps or 300, ae_steps=300, batch=8, sources=("rot0",))
+    else:
+        run(workdir, args.out, args.grids, steps=args.steps or 800)
+
+
+if __name__ == "__main__":
+    main()
