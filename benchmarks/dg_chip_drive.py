@@ -118,14 +118,18 @@ def main():
         ("fedprox", ["--mode", "fedprox", "--mu", "0.001"]),
     ]
 
-    # FedDG needs the amplitude bank on disk first (kfold_amp layout)
-    proc, wall = run_cli([
-        "amp-bank", "--dataset", "pacs", "--list-root", root,
-        "--data-root", root, "--out-root", root,
-        "--image-size", str(args.image_size),
-    ])
-    assert proc.returncode == 0, proc.stderr[-3000:]
-    results = {"amp_bank_seconds": round(wall, 1), "runs": {}}
+    # FedDG needs the amplitude banks on disk first (kfold_amp layout),
+    # one per source domain; the bank is a host-side FFT — run it on CPU
+    amp_wall = 0.0
+    for d in ("art_painting", "cartoon", "sketch"):
+        proc, wall = run_cli([
+            "amp-bank", "--dataset", "pacs", "--domain", d,
+            "--list-root", root, "--data-root", root, "--out-root", root,
+            "--image-size", str(args.image_size),
+        ], env_extra={"CCST_PLATFORM": "cpu"})
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        amp_wall += wall
+    results = {"amp_bank_seconds": round(amp_wall, 1), "runs": {}}
 
     ckpt_for_eval = None
     for label, extra in plugins:
@@ -140,12 +144,17 @@ def main():
 
             log = glob.glob(os.path.join(logd, "*.jsonl"))[0]
             rounds = round_seconds(log)
+            last = rounds[args.rounds - 1]
+            # sequential-runner rounds log per-client losses
+            # (train_loss/<client>); average them for the table
+            losses = [v for k, v in last.items() if k.startswith("train_loss")]
+            loss_mean = float(np.mean(losses)) if losses else float("nan")
             rec.update(
                 round0_seconds=round(rounds[0]["seconds"], 1),
-                round1_seconds=round(rounds[args.rounds - 1]["seconds"], 1),
-                train_loss_final=round(rounds[args.rounds - 1]["train_loss_mean"], 4),
-                val_acc_final=round(rounds[args.rounds - 1]["val_acc_mean"], 4),
-                loss_finite=bool(np.isfinite(rounds[args.rounds - 1]["train_loss_mean"])),
+                round1_seconds=round(last["seconds"], 1),
+                train_loss_final=round(loss_mean, 4),
+                val_acc_final=round(last["val_acc_mean"], 4),
+                loss_finite=bool(np.isfinite(loss_mean)),
             )
             if label == "fedavg_no_DG":
                 ckpt_for_eval = (save, logd)

@@ -77,12 +77,18 @@ def _pool_conv_kernel(
     dma.start()
     dma.wait()
 
-    # pool: rows [1, ht+3) of the slab are original rows [t*ht-1, t*ht+ht+1)
+    # pool: rows [1, ht+3) of the slab are original rows [t*ht-1, t*ht+ht+1).
+    # Mosaic has no signed int8 vector max on v5e (`arith.maxsi` fails to
+    # legalize — the same gap the level-1 kernel dodges by maxing in f32
+    # BEFORE its requant). This kernel's input is already-quantized int8
+    # from the XLA producer, so the widen->max->narrow here is inherent to
+    # fusing at this seam, and its VPU cost is part of the measurement.
     x = s_in[1 : ht + 3]
-    s_mid[...] = jnp.maximum(
-        jnp.maximum(x[..., 0:64], x[..., 64:128]),
-        jnp.maximum(x[..., 128:192], x[..., 192:256]),
-    )
+    m = jnp.maximum(x[..., 0:64].astype(jnp.int32),
+                    x[..., 64:128].astype(jnp.int32))
+    m = jnp.maximum(m, x[..., 128:192].astype(jnp.int32))
+    m = jnp.maximum(m, x[..., 192:256].astype(jnp.int32))
+    s_mid[...] = m.astype(jnp.int8)
 
     if cat:
         # column taps concatenated along lanes: 3 dots of K=192
@@ -212,20 +218,33 @@ def production(q):
 
 
 def check_correctness(interpret: bool):
+    """Bit-exactness of each fused variant vs production. On real v5e
+    hardware the F3 lane-concat does not legalize (Mosaic: "result/input
+    offset mismatch on non-concat dimension" — the 64-lane slices start at
+    non-tile offsets), so F3 is interpret-mode-only; the measurement matrix
+    records it as unsupported."""
     q, wq, k, kb = build_prep()
     rng = np.random.default_rng(1)
     xp = jnp.asarray(rng.integers(-5, 120, (2, 16, 16, 256)), jnp.int8)
     want = np.asarray(production(q)(xp))
+    ok = {}
     for cat in (False, True):
-        got = np.asarray(
-            pool_conv_fused(xp, jnp.asarray(wq), k, kb, ht=8, cat=cat,
-                            interpret=interpret)
-        )
+        try:
+            got = np.asarray(
+                pool_conv_fused(xp, jnp.asarray(wq), k, kb, ht=8, cat=cat,
+                                interpret=interpret)
+            )
+        except Exception as e:
+            if interpret or not cat:
+                raise  # F9 must work everywhere; interpret must take both
+            ok["F3"] = f"unsupported: {str(e).splitlines()[0][:160]}"
+            continue
         assert got.shape == want.shape, (got.shape, want.shape)
         assert np.array_equal(got, want), (
             f"cat={cat}: max |err| {np.abs(got.astype(np.int32) - want.astype(np.int32)).max()}"
         )
-    return True
+        ok["F3" if cat else "F9"] = "bit-exact"
+    return ok
 
 
 def main():
@@ -239,13 +258,14 @@ def main():
         return
 
     q, wq, k, kb = build_prep()
-    print(json.dumps({"correctness": check_correctness(False)}), flush=True)
+    correctness = check_correctness(False)
+    print(json.dumps({"correctness": correctness}), flush=True)
 
     rng = np.random.default_rng(0)
     xp = jnp.asarray(rng.integers(-5, 120, (B, 256, 256, 256)), jnp.int8)
     wqj = jnp.asarray(wq)
 
-    res = {}
+    res = {"correctness": correctness}
     res["A_pool1_c21_xla_ms"] = timeit(production(q), xp)
     print(json.dumps(res), flush=True)
     for ht in (32, 64):
@@ -253,11 +273,13 @@ def main():
             lambda x: pool_conv_fused(x, wqj, k, kb, ht=ht, cat=False), xp
         )
         print(json.dumps(res), flush=True)
-        res[f"F3_fused_ht{ht}_ms"] = timeit(
-            lambda x: pool_conv_fused(x, wqj, k, kb, ht=ht, cat=True), xp
-        )
-        print(json.dumps(res), flush=True)
-    best_f = min(v for kk, v in res.items() if kk.startswith("F"))
+        if correctness.get("F3") == "bit-exact":
+            res[f"F3_fused_ht{ht}_ms"] = timeit(
+                lambda x: pool_conv_fused(x, wqj, k, kb, ht=ht, cat=True), xp
+            )
+            print(json.dumps(res), flush=True)
+    best_f = min(v for kk, v in res.items()
+                 if kk.startswith("F") and isinstance(v, float))
     step_ms = 343.0  # measured engine step at b128 (docs/WINOGRAD.md §3)
     d = res["A_pool1_c21_xla_ms"] - best_f
     res["delta_ms"] = round(d, 2)
