@@ -383,6 +383,29 @@ def run_fed(root: str, size: int, fusion_mode: str, seed: int, rounds: int) -> D
     return runner.run()  # {"val_acc_mean", "round", "test_acc"}
 
 
+def _paired_orderings(results: Dict[str, List[Dict]]) -> Dict[str, Dict]:
+    """Per-seed paired gaps between arms (same seed = same data/init):
+    mean, sd, per-seed values, and how many seeds preserve the ordering."""
+    by_seed = {
+        a: {r["seed"]: r["test_acc"] for r in rs} for a, rs in results.items()
+    }
+    out = {}
+    for hi, lo in (("bf16", "single"), ("bf16", "no_fusion"),
+                   ("single", "no_fusion")):
+        common = sorted(set(by_seed.get(hi, {})) & set(by_seed.get(lo, {})))
+        if not common:
+            continue
+        gaps = [by_seed[hi][s] - by_seed[lo][s] for s in common]
+        out[f"{hi}_minus_{lo}"] = {
+            "seeds": common,
+            "gaps": [round(g, 4) for g in gaps],
+            "mean": float(np.mean(gaps)),
+            "sd": float(np.std(gaps)),
+            "n_positive": int(sum(g > 0 for g in gaps)),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -511,6 +534,10 @@ def main() -> None:
         "per_seed_gain": [
             b - n for b, n in zip(acc("bf16"), acc("no_fusion"))
         ],
+        # PAIRED per-seed orderings (same seeds, same data per seed — the
+        # honest variance bar for reproducing paper Tab. 3's
+        # overall > single > no_fusion; VERDICT r4 #8)
+        "paired_orderings": _paired_orderings(results),
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
