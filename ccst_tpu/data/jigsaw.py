@@ -82,8 +82,20 @@ def tile_and_permute(images: Array, orders: Array, perms: Array) -> Array:
     )
     identity = jnp.arange(N_TILES)[None, :]
     table = jnp.concatenate([identity, jnp.asarray(perms)], axis=0)  # (P+1, 9)
-    sel = table[orders]  # (N, 9)
-    shuffled = jnp.take_along_axis(tiles, sel[:, :, None, None, None], axis=1)
+    # Gather-free selection (round-5 tunnel finding): the obvious
+    # take_along_axis over the (N, 9, th, tw, C) tiles lowers to a large
+    # per-image gather, and gather lowerings are this tunnel's known
+    # pathological-remote-compile case (the SLE bilinear-resize hang,
+    # docs/STATUS.md r4 #7) — the Jigsaw step sat >40 min in compile.
+    # Formulate both lookups as one-hot matmuls instead: each one-hot row
+    # has exactly one 1.0, so the f32 matmuls are EXACT copies (0*x + 1*x),
+    # bit-identical to the gather (tests/test_train_equivalence_ext.py).
+    sel = jax.nn.one_hot(orders, table.shape[0], dtype=jnp.float32) @ table.astype(
+        jnp.float32
+    )  # (N, 9) — float-exact: values are small ints
+    onehot = jax.nn.one_hot(sel.astype(jnp.int32), N_TILES, dtype=jnp.float32)
+    flat = tiles.reshape(n, N_TILES, th * tw * c).astype(jnp.float32)
+    shuffled = jnp.einsum("nij,njd->nid", onehot, flat).astype(images.dtype)
     return (
         shuffled.reshape(n, GRID, GRID, th, tw, c)
         .transpose(0, 1, 3, 2, 4, 5)
