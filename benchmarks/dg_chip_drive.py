@@ -63,15 +63,25 @@ def make_tree(root: str) -> None:
 
 
 def run_cli(argv, timeout=2400, env_extra=None):
+    """Run a CLI subcommand; on timeout return (None, wall) instead of raising.
+
+    A single pathological remote compile (e.g. the pre-fix Jigsaw gather,
+    docs/STATUS.md r5) must not abort the whole plugin matrix — record it
+    and move on. subprocess.run kills the child on timeout, releasing the
+    chip lock for the next plugin.
+    """
     env = dict(os.environ)
     env["CCST_COMPILE_CACHE"] = env.get("CCST_COMPILE_CACHE", "1")
     if env_extra:
         env.update(env_extra)
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-m", "ccst_tpu.cli"] + argv,
-        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "ccst_tpu.cli"] + argv,
+            capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None, time.perf_counter() - t0
     wall = time.perf_counter() - t0
     return proc, wall
 
@@ -94,6 +104,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "EXPERIMENT_DG_CHIP.json"))
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated plugin labels to run (others are skipped); "
+        "results merge into an existing --out JSON so a crashed matrix can "
+        "be resumed without re-paying completed plugins",
+    )
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="ccst_dg_chip_")
@@ -117,6 +133,9 @@ def main():
         ("feddg", ["--dg-method", "feddg"]),
         ("fedprox", ["--mode", "fedprox", "--mu", "0.001"]),
     ]
+    only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        plugins = [p for p in plugins if p[0] in only]
 
     # FedDG needs the amplitude banks on disk first (kfold_amp layout),
     # one per source domain; the bank is a host-side FFT — run it on CPU
@@ -127,9 +146,14 @@ def main():
             "--list-root", root, "--data-root", root, "--out-root", root,
             "--image-size", str(args.image_size),
         ], env_extra={"CCST_PLATFORM": "cpu"})
-        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert proc is not None and proc.returncode == 0, (
+            proc.stderr[-3000:] if proc else "amp-bank timed out"
+        )
         amp_wall += wall
     results = {"amp_bank_seconds": round(amp_wall, 1), "runs": {}}
+    if only is not None and os.path.exists(args.out):
+        with open(args.out) as f:
+            results["runs"].update(json.load(f).get("runs", {}))
 
     ckpt_for_eval = None
     for label, extra in plugins:
@@ -138,6 +162,11 @@ def main():
         proc, wall = run_cli(
             base + extra + ["--save-path", save, "--log-path", logd]
         )
+        if proc is None:
+            rec = {"rc": "timeout", "wall_seconds": round(wall, 1)}
+            results["runs"][label] = rec
+            print(json.dumps({label: rec}), flush=True)
+            continue
         rec = {"rc": proc.returncode, "wall_seconds": round(wall, 1)}
         if proc.returncode == 0:
             import glob
@@ -179,11 +208,14 @@ def main():
                 "--save-path", save, "--log-path", logd,
                 "--checkpoint", "latest",
             ] + extra)
-            rec = {"rc": proc.returncode, "wall_seconds": round(wall, 1)}
-            if proc.returncode == 0:
-                rec["stdout_tail"] = proc.stdout.strip().splitlines()[-1]
+            if proc is None:
+                rec = {"rc": "timeout", "wall_seconds": round(wall, 1)}
             else:
-                rec["stderr_tail"] = proc.stderr[-1500:]
+                rec = {"rc": proc.returncode, "wall_seconds": round(wall, 1)}
+                if proc.returncode == 0:
+                    rec["stdout_tail"] = proc.stdout.strip().splitlines()[-1]
+                else:
+                    rec["stderr_tail"] = proc.stderr[-1500:]
             results["runs"][f"fed-test_{label}"] = rec
             print(json.dumps({f"fed-test_{label}": rec}), flush=True)
 
