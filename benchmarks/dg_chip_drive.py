@@ -96,6 +96,44 @@ def round_seconds(log_path: str):
     return rounds
 
 
+# every label a complete chip matrix must carry with rc 0
+ALL_LABELS = (
+    "fedavg_no_DG", "RSC", "Jigsaw", "MixStyle", "feddg", "fedprox",
+    "fed-test_tent", "fed-test_in_test",
+)
+
+
+def merge_resume(prior: dict, fresh: dict) -> dict:
+    """Merge a fresh partial matrix into a prior artifact.
+
+    Keeps every curated top-level key of the prior artifact (config, tier,
+    note, cpu_mesh_matrix, ...), refreshes the keys the fresh run measured,
+    and keeps prior per-plugin runs that the fresh run did not repeat —
+    fresh runs win on conflict (recorded later via results["runs"][label]).
+    """
+    prior = dict(prior)
+    prior_runs = prior.pop("runs", {})
+    prior.update(fresh)
+    prior["runs"] = dict(prior_runs)
+    prior["runs"].update(fresh.get("runs", {}))
+    return prior
+
+
+def finalize_matrix(results: dict) -> dict:
+    """Recompute pending_on_chip/tier from what actually landed rc 0."""
+    pending = [
+        lbl for lbl in ALL_LABELS
+        if results.get("runs", {}).get(lbl, {}).get("rc") != 0
+    ]
+    if pending:
+        results["pending_on_chip"] = pending
+        results["tier"] = "chip-partial"
+    else:
+        results.pop("pending_on_chip", None)
+        results["tier"] = "chip-full"
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=2)
@@ -152,8 +190,12 @@ def main():
         amp_wall += wall
     results = {"amp_bank_seconds": round(amp_wall, 1), "runs": {}}
     if only is not None and os.path.exists(args.out):
+        # resume: keep every top-level key of the existing artifact (config,
+        # tier, note, cpu_mesh_matrix, ...) and merge into its runs table —
+        # a partial re-run must never clobber curated context
         with open(args.out) as f:
-            results["runs"].update(json.load(f).get("runs", {}))
+            prior = json.load(f)
+        results = merge_resume(prior, results)
 
     ckpt_for_eval = None
     for label, extra in plugins:
@@ -219,6 +261,7 @@ def main():
             results["runs"][f"fed-test_{label}"] = rec
             print(json.dumps({f"fed-test_{label}": rec}), flush=True)
 
+    finalize_matrix(results)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"-> {args.out}")

@@ -55,3 +55,51 @@ def test_probe_loop_then_chains_command(tmp_path):
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+def test_dg_chip_resume_merge_and_finalize():
+    """dg_chip_drive resume contract: curated keys survive, fresh runs win,
+    pending_on_chip/tier recompute from what actually landed rc 0."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dg_chip_drive", os.path.join(REPO, "benchmarks", "dg_chip_drive.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    prior = {
+        "config": {"image_size": 222},
+        "tier": "chip-partial",
+        "note": "curated",
+        "cpu_mesh_matrix": {"runs": {}},
+        "pending_on_chip": ["Jigsaw"],
+        "runs": {
+            "fedavg_no_DG": {"rc": 0},
+            "RSC": {"rc": 0},
+            "Jigsaw": {"rc": "timeout"},
+        },
+    }
+    fresh = {"amp_bank_seconds": 1.0, "runs": {}}
+    merged = mod.merge_resume(prior, fresh)
+    # curated context intact, fresh measurement refreshed, prior runs kept
+    assert merged["note"] == "curated"
+    assert merged["cpu_mesh_matrix"] == {"runs": {}}
+    assert merged["amp_bank_seconds"] == 1.0
+    assert merged["runs"]["RSC"] == {"rc": 0}
+    # a resumed plugin run overwrites its prior (timeout) record
+    merged["runs"]["Jigsaw"] = {"rc": 0}
+
+    # still incomplete: everything else is pending
+    mod.finalize_matrix(merged)
+    assert merged["tier"] == "chip-partial"
+    assert set(merged["pending_on_chip"]) == {
+        "MixStyle", "feddg", "fedprox", "fed-test_tent", "fed-test_in_test"
+    }
+
+    # all labels rc 0 -> chip-full, no pending key
+    for lbl in mod.ALL_LABELS:
+        merged["runs"].setdefault(lbl, {"rc": 0})
+    mod.finalize_matrix(merged)
+    assert merged["tier"] == "chip-full"
+    assert "pending_on_chip" not in merged
