@@ -377,6 +377,7 @@ def evaluate_inverter(
     names, labels = parse_list(
         train_list_path(cfg.list_root, cfg.dataset, domain)
     )
+    rel_names = list(names[: cfg.eval_limit])  # list-relative, for path_list
     if cfg.data_root:
         names = [os.path.join(cfg.data_root, n) for n in names]
     loader = ImageBatchLoader(
@@ -429,6 +430,19 @@ def evaluate_inverter(
     if lpipss:
         report["lpips_mean"] = float(np.mean(lpipss))
         report["lpips_std"] = float(np.std(lpipss))
+        # reference-exact artifact (reconstruct_img/test.py:225-231): a dict
+        # npy with per-image lists + averages, drop-in for any downstream
+        # analysis written against the reference's psnr_lpips.npy
+        np.save(
+            os.path.join(out_img_dir, "psnr_lpips.npy"),
+            {
+                "psnr_list": psnrs,
+                "lpips_list": lpipss,
+                "path_list": rel_names[: len(psnrs)],
+                "average_psnr": float(np.mean(psnrs)),
+                "average_lpips": float(np.mean(lpipss)),
+            },
+        )
     np.save(os.path.join(out_img_dir, "psnr_perceptual.npy"),
             np.stack([psnrs, percs]))
     with open(os.path.join(out_img_dir, "report.json"), "w") as f:
