@@ -378,7 +378,9 @@ def cmd_invert_eval(args) -> int:
         lpips_lin=args.lpips_lin,
         style_stats_dir=args.style_stats_dir,
     )
-    report = evaluate_inverter(cfg, target=args.target, overall=args.overall)
+    report = evaluate_inverter(
+        cfg, target=args.target, overall=args.overall, holdout=args.holdout
+    )
     print(json.dumps(report))
     return 0
 
@@ -674,6 +676,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--overall", action="store_true",
                    help="invert the domain-level Overall statistic")
+    p.add_argument("--holdout", action="store_true",
+                   help="score only the trainer's held-out val split "
+                        "(rules out training-set memorization)")
     p.set_defaults(fn=cmd_invert_eval)
 
     p = sub.add_parser("gan-train", help="train the lightweight GAN on one domain")

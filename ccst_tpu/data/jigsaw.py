@@ -90,12 +90,19 @@ def tile_and_permute(images: Array, orders: Array, perms: Array) -> Array:
     # Formulate both lookups as one-hot matmuls instead: each one-hot row
     # has exactly one 1.0, so the f32 matmuls are EXACT copies (0*x + 1*x),
     # bit-identical to the gather (tests/test_train_equivalence_ext.py).
-    sel = jax.nn.one_hot(orders, table.shape[0], dtype=jnp.float32) @ table.astype(
-        jnp.float32
+    # precision=HIGHEST everywhere: TPU default matmul precision feeds the
+    # MXU bf16 operands, which would round the f32 pixels (and the exactness
+    # argument below is only valid in full precision).
+    sel = jnp.matmul(
+        jax.nn.one_hot(orders, table.shape[0], dtype=jnp.float32),
+        table.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )  # (N, 9) — float-exact: values are small ints
     onehot = jax.nn.one_hot(sel.astype(jnp.int32), N_TILES, dtype=jnp.float32)
     flat = tiles.reshape(n, N_TILES, th * tw * c).astype(jnp.float32)
-    shuffled = jnp.einsum("nij,njd->nid", onehot, flat).astype(images.dtype)
+    shuffled = jnp.einsum(
+        "nij,njd->nid", onehot, flat, precision=jax.lax.Precision.HIGHEST
+    ).astype(images.dtype)
     return (
         shuffled.reshape(n, GRID, GRID, th, tw, c)
         .transpose(0, 1, 3, 2, 4, 5)

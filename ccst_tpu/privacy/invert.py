@@ -110,16 +110,23 @@ def perceptual_distance(enc_params, a: Array, b: Array) -> Array:
     return total / len(taps_a)
 
 
+def _split_indices(cfg: InvertConfig, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The (val, train) index split — seed-deterministic, shared by the
+    trainer and by ``evaluate_inverter(holdout=True)`` so holdout eval
+    scores exactly the images the trainer never saw."""
+    rng = np.random.default_rng(cfg.seed)
+    idx = rng.permutation(n)
+    n_val = max(1, int(n * cfg.val_fraction))
+    return idx[:n_val], idx[n_val:]
+
+
 def _loaders(cfg: InvertConfig) -> Tuple[ImageBatchLoader, ImageBatchLoader]:
     names, labels = parse_list(
         train_list_path(cfg.list_root, cfg.dataset, cfg.source)
     )
     if cfg.data_root:
         names = [os.path.join(cfg.data_root, n) for n in names]
-    rng = np.random.default_rng(cfg.seed)
-    idx = rng.permutation(len(names))
-    n_val = max(1, int(len(names) * cfg.val_fraction))
-    val_idx, train_idx = idx[:n_val], idx[n_val:]
+    val_idx, train_idx = _split_indices(cfg, len(names))
     if jax.process_count() > 1:
         # DistributedSampler analogue: every process decodes only its own
         # contiguous slice of the (seed-deterministic) permutation
@@ -294,11 +301,19 @@ def train_inverter(cfg: InvertConfig, mesh=None) -> Dict[str, Any]:
 
 
 def evaluate_inverter(
-    cfg: InvertConfig, target: str = "", overall: bool = False
+    cfg: InvertConfig, target: str = "", overall: bool = False,
+    holdout: bool = False,
 ) -> Dict[str, Any]:
-    """Reconstruct images of ``target`` (default: the source's val split)
+    """Reconstruct images of ``target`` (default: the source domain)
     from their style vectors; report mean/std PSNR and perceptual distance,
-    save reconstructions + a ``psnr_lpips``-style npy (test.py:223-230)."""
+    save reconstructions + a ``psnr_lpips``-style npy (test.py:223-230).
+
+    ``holdout=True`` restricts scoring to the exact val split the trainer
+    held out (same seed-deterministic permutation), so the reported
+    reconstruction quality cannot be training-set memorization. Only
+    meaningful when evaluating the source domain itself; a different
+    ``target`` domain is held out by construction (test.py evaluates on the
+    target's test loader)."""
     from ccst_tpu.utils.checkpoint import load_checkpoint
 
     enc = _encoder_params(cfg)
@@ -312,6 +327,7 @@ def evaluate_inverter(
     out_img_dir = os.path.join(
         cfg.out_dir, cfg.dataset.lower(), f"recon_{cfg.source}"
         + (f"_to_{target}" if target else "") + ("_overall" if overall else "")
+        + ("_holdout" if holdout and not target else "")
     )
     os.makedirs(out_img_dir, exist_ok=True)
 
@@ -339,6 +355,11 @@ def evaluate_inverter(
         names, labels = parse_list(
             train_list_path(cfg.list_root, cfg.dataset, domain)
         )
+        if holdout and not target:
+            val_idx, _ = _split_indices(cfg, len(names))
+            sel = np.sort(val_idx)
+            names = [names[i] for i in sel]
+            labels = [labels[i] for i in sel]
         if cfg.data_root:
             names = [os.path.join(cfg.data_root, n) for n in names]
         loader = ImageBatchLoader(
@@ -359,6 +380,7 @@ def evaluate_inverter(
             percs.extend(float(v) for v in d[: batch.valid])
         report = {
             "mode": "overall",
+            "holdout": bool(holdout and not target),
             "domain": domain,
             "image": img_path,
             "images_scored": len(psnrs),
@@ -377,6 +399,11 @@ def evaluate_inverter(
     names, labels = parse_list(
         train_list_path(cfg.list_root, cfg.dataset, domain)
     )
+    if holdout and not target:
+        val_idx, _ = _split_indices(cfg, len(names))
+        sel = np.sort(val_idx)
+        names = [names[i] for i in sel]
+        labels = [labels[i] for i in sel]
     rel_names = list(names[: cfg.eval_limit])  # list-relative, for path_list
     if cfg.data_root:
         names = [os.path.join(cfg.data_root, n) for n in names]
@@ -420,6 +447,7 @@ def evaluate_inverter(
             idx += 1
     report = {
         "domain": domain,
+        "holdout": bool(holdout and not target),
         "images": len(psnrs),
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_std": float(np.std(psnrs)),

@@ -11,8 +11,13 @@ which caps val PSNR at the noise ceiling and demonstrates nothing about
 leakage; this experiment reruns the chain on STRUCTURED content and commits
 the ordering:
 
-  per-image arm:  PSNR(G(z_i), image_i) over held-out-seeded domain images
-  overall arm:    PSNR(G(z_domain), image_i) over the SAME images
+  per-image arm:  PSNR(G(z_i), image_i) over the trainer's HELD-OUT val
+                  split (evaluate_inverter(holdout=True): the same
+                  seed-deterministic permutation the trainer used, so the
+                  inverter never saw these images — the gap measures
+                  generalization of the style-vector → image mapping, not
+                  training-set memorization)
+  overall arm:    PSNR(G(z_domain), image_i) over the SAME held-out images
   mean baseline:  PSNR(mean image of the domain, image_i) — the theoretical
                   best any single fixed reconstruction can do on average
 
@@ -67,7 +72,7 @@ def run(
     from ccst_tpu.models.convert import save_npz
     from ccst_tpu.pipeline.style_bank import compute_style_bank
     from ccst_tpu.privacy.invert import (
-        InvertConfig, evaluate_inverter, psnr, train_inverter,
+        InvertConfig, _split_indices, evaluate_inverter, psnr, train_inverter,
     )
     from experiments.semantic_validation import (
         CLASSES, DOMAINS, _register, make_experiment_encoder,
@@ -113,12 +118,21 @@ def run(
             style_stats_dir=stats_dir, eval_limit=48,
         )
         best = train_inverter(cfg)
-        per_image = evaluate_inverter(cfg)           # recon_i vs image_i
-        overall = evaluate_inverter(cfg, overall=True)  # one recon vs all
+        # holdout=True on BOTH arms: every score is over the exact val
+        # split the inverter trainer never saw (same seed-deterministic
+        # permutation), so the leakage gap cannot be training-set
+        # memorization — the inverter must generalize the style-vector →
+        # image mapping to reconstruct these.
+        per_image = evaluate_inverter(cfg, holdout=True)  # recon_i vs image_i
+        overall = evaluate_inverter(cfg, overall=True, holdout=True)
 
-        # mean-image baseline: the best any FIXED image can do on average
+        # mean-image baseline: the best any FIXED image can do on average,
+        # over the same held-out images
         names, labels = parse_list(train_list_path(root, "shapes4", src))
-        names = [os.path.join(root, n) for n in names]
+        val_idx, _ = _split_indices(cfg, len(names))
+        sel = np.sort(val_idx)
+        names = [os.path.join(root, names[i]) for i in sel]
+        labels = [labels[i] for i in sel]
         loader = ImageBatchLoader(
             names[: cfg.eval_limit], labels[: cfg.eval_limit],
             batch_size=batch, image_size=size,

@@ -141,6 +141,40 @@ def test_jigsaw_table_matches_reference_asset():
         assert sorted(row.tolist()) == list(range(9))
 
 
+def test_jigsaw_onehot_bit_identical_at_default_precision(rng):
+    """The gather-free one-hot formulation must equal the take_along_axis
+    gather BIT-FOR-BIT under DEFAULT matmul precision — conftest forces
+    'highest' globally, which would mask a missing precision= override (on
+    TPU the default feeds the MXU bf16 operands, rounding every pixel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ccst_tpu.data.jigsaw import GRID, N_TILES, permutation_set, tile_and_permute
+
+    images = jnp.asarray(rng.random((4, 9, 9, 2), dtype=np.float32))
+    perms = jnp.asarray(permutation_set(30))
+    orders = jnp.asarray([0, 3, 17, 30])
+
+    n, h, w, c = images.shape
+    th, tw = h // GRID, w // GRID
+    tiles = (
+        images.reshape(n, GRID, th, GRID, tw, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, N_TILES, th, tw, c)
+    )
+    table = jnp.concatenate([jnp.arange(N_TILES)[None, :], perms], axis=0)
+    sel = table[orders]  # the obvious gather formulation
+    want = jnp.take_along_axis(tiles, sel[:, :, None, None, None], axis=1)
+    want = (
+        want.reshape(n, GRID, GRID, th, tw, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h, w, c)
+    )
+    with jax.default_matmul_precision("default"):
+        got = tile_and_permute(images, orders, perms)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_segment_path_rewrite_ignores_substring_collisions():
     """A data root containing the domain name as a substring must not be
     rewritten (round-1 blind str.replace bug)."""
